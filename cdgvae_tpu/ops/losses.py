@@ -1,0 +1,65 @@
+"""Loss terms for all CDG-VAE families, as pure functions.
+
+Each matches the reference's exact reduction semantics (sum over feature axes,
+mean over batch) so loss curves are directly comparable:
+
+* ``gaussian_recon``   — 0.5 * sum((xhat-x)^2) per sample, batch mean
+                         (reference modules/train.py:175)
+* ``l1_recon``         — |xhat - x| sum/mean (celeba/module/train.py:33-34)
+* ``kl_std_normal``    — analytic KL( N(mean, diag e^logvar) || N(0, I) )
+                         (modules/train.py:180-186)
+* ``alignment_bce``    — per-node BCE(sigmoid(latent), labels) summed over
+                         nodes, batch mean (modules/train.py:189-191)
+* ``infomax_mi``       — f-divergence MI lower bound with permuted marginals
+                         (modules/train.py:120-125)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gaussian_recon(xhat: jax.Array, x: jax.Array) -> jax.Array:
+    """0.5 * Σ_pixels (xhat - x)^2, batch mean."""
+    d = (xhat - x).astype(jnp.float32)
+    axes = tuple(range(1, d.ndim))
+    return 0.5 * jnp.sum(d * d, axis=axes).mean()
+
+
+def l1_recon(xhat: jax.Array, x: jax.Array) -> jax.Array:
+    """Σ_pixels |xhat - x|, batch mean (CelebA family)."""
+    d = jnp.abs(xhat - x).astype(jnp.float32)
+    axes = tuple(range(1, d.ndim))
+    return jnp.sum(d, axis=axes).mean()
+
+
+def kl_std_normal(mean: jax.Array, logvar: jax.Array) -> jax.Array:
+    """0.5 * Σ_j (mean² - logvar + e^logvar - 1), batch mean."""
+    kl = jnp.sum(mean ** 2 - logvar + jnp.exp(logvar) - 1.0, axis=1)
+    return 0.5 * kl.mean()
+
+
+def alignment_bce(align_latent: jax.Array, labels: jax.Array,
+                  eps: float = 1e-7) -> jax.Array:
+    """BCE(sigmoid(align_latent), labels) summed over nodes, batch mean.
+
+    Computed in the numerically stable logits form (equivalent to the
+    reference's sigmoid-then-binary_cross_entropy with clamped probs).
+    """
+    z = align_latent
+    y = labels.astype(z.dtype)
+    # stable BCE-with-logits: max(z,0) - z*y + log(1+exp(-|z|))
+    bce = jnp.maximum(z, 0.0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))
+    return jnp.sum(bce, axis=1).mean()
+
+
+def infomax_mi(d_joint: jax.Array, d_marginal: jax.Array) -> jax.Array:
+    """Negative f-divergence MI lower bound:
+    MI = -( E[D(x, eps)] - E[exp(D(x, eps_perm) - 1)] )."""
+    return -(d_joint.mean() - jnp.exp(d_marginal - 1.0).mean())
+
+
+def posterior_variance(logvar: jax.Array) -> jax.Array:
+    """Per-node mean posterior variance, the reference's debug telemetry
+    (modules/train.py:193-196). Returns [node]."""
+    return jnp.exp(logvar).mean(axis=0)

@@ -1,0 +1,54 @@
+"""Golden-value tests of each loss term against hand-computed small tensors
+(SURVEY.md §4 test plan)."""
+import jax.numpy as jnp
+import numpy as np
+
+from cdgvae_tpu.ops import losses
+
+
+def test_gaussian_recon_golden():
+    x = jnp.zeros((2, 2, 2, 3))
+    xhat = jnp.ones((2, 2, 2, 3))
+    # 0.5 * sum over 12 pixels of 1, batch mean => 6.0
+    assert float(losses.gaussian_recon(xhat, x)) == 6.0
+
+
+def test_l1_recon_golden():
+    x = jnp.zeros((2, 4))
+    xhat = jnp.full((2, 4), -0.5)
+    assert float(losses.l1_recon(xhat, x)) == 2.0
+
+
+def test_kl_golden():
+    mean = jnp.array([[1.0, 0.0]])
+    logvar = jnp.array([[0.0, 0.0]])
+    # 0.5 * (1 - 0 + 1 - 1  +  0 - 0 + 1 - 1) = 0.5
+    np.testing.assert_allclose(float(losses.kl_std_normal(mean, logvar)), 0.5)
+
+    # KL of exact prior is 0
+    assert float(losses.kl_std_normal(jnp.zeros((3, 4)),
+                                      jnp.zeros((3, 4)))) == 0.0
+
+
+def test_alignment_bce_matches_naive_sigmoid_form():
+    rng = np.random.default_rng(0)
+    z = rng.normal(size=(6, 4)).astype(np.float32)
+    y = rng.uniform(size=(6, 4)).astype(np.float32)
+    p = 1 / (1 + np.exp(-z))
+    naive = (-(y * np.log(p) + (1 - y) * np.log(1 - p))).sum(axis=1).mean()
+    ours = float(losses.alignment_bce(jnp.asarray(z), jnp.asarray(y)))
+    np.testing.assert_allclose(ours, naive, rtol=1e-5)
+
+
+def test_infomax_mi_golden():
+    dj = jnp.array([[1.0], [1.0]])
+    dm = jnp.array([[1.0], [1.0]])
+    # -(1 - exp(0)) = 0
+    np.testing.assert_allclose(float(losses.infomax_mi(dj, dm)), 0.0,
+                               atol=1e-7)
+
+
+def test_posterior_variance():
+    logvar = jnp.log(jnp.array([[1.0, 4.0], [1.0, 4.0]]))
+    np.testing.assert_allclose(np.asarray(losses.posterior_variance(logvar)),
+                               [1.0, 4.0], rtol=1e-6)
