@@ -1,0 +1,46 @@
+"""Shared CLI plumbing: list-arg parsing, logging/output flags, mesh setup."""
+from __future__ import annotations
+
+import argparse
+import ast
+
+import jax
+
+from ..parallel.mesh import make_mesh
+
+
+def arg_as_list(s: str):
+    """Parse a Python-literal list flag (reference main.py:55-59)."""
+    v = ast.literal_eval(s)
+    if type(v) is not list:
+        raise argparse.ArgumentTypeError(f'Argument "{s}" is not a list')
+    return v
+
+
+def add_infra_args(parser: argparse.ArgumentParser):
+    """Framework-side flags that have no reference counterpart."""
+    parser.add_argument("--wandb", action="store_true",
+                        help="enable wandb logging (optional here; the "
+                             "reference hard-requires it)")
+    parser.add_argument("--assets_dir", default="./assets", type=str,
+                        help="output directory for figures and checkpoints")
+    parser.add_argument("--dp", default=0, type=int,
+                        help="number of devices for the data-parallel mesh "
+                             "(0 = all local devices if batch divides evenly,"
+                             " else single device)")
+    return parser
+
+
+def resolve_mesh(config: dict):
+    """Build the dp mesh per --dp; None means single-device execution."""
+    n_dev = len(jax.devices())
+    dp = config.get("dp", 0)
+    if dp == 1 or (dp == 0 and n_dev == 1):
+        return None
+    n = dp if dp > 0 else n_dev
+    if config["batch_size"] % n != 0:
+        if dp > 0:
+            raise ValueError(
+                f"batch_size {config['batch_size']} not divisible by dp={n}")
+        return None
+    return make_mesh(n)

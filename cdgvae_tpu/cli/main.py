@@ -1,0 +1,142 @@
+"""Pendulum training entry point — flag parity with reference main.py:61-113.
+
+Usage: python -m cdgvae_tpu.cli.main --model CDGVAE --scm linear ...
+Trains VAE / InfoMax / CDG-VAE on the device-rendered pendulum_real dataset
+and writes a self-describing checkpoint (params + opt state + config).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import jax
+import optax
+
+from ..data.pendulum import PendulumDataset
+from ..factory import build_pendulum_model
+from ..train.steps import make_train_step, make_infomax_step
+from ..train.loop import train_epoch, format_epoch
+from ..utils.simulation import set_random_seed
+from ..utils.checkpoint import save_checkpoint
+from ..utils.logging import MetricLogger
+from ..utils.viz import viz_recon_grid
+from .common import arg_as_list, add_infra_args, resolve_mesh
+
+
+def get_args(debug: bool = False, argv=None):
+    parser = argparse.ArgumentParser("parameters")
+    # flag-for-flag with reference main.py:61-113
+    parser.add_argument("--seed", type=int, default=1,
+                        help="seed for repeatable results")
+    parser.add_argument("--model", type=str, default="CDGVAE",
+                        help="VAE based model options: VAE, InfoMax, CDGVAE")
+    parser.add_argument("--node", default=4, type=int,
+                        help="the number of nodes")
+    parser.add_argument("--scm", default="linear", type=str,
+                        help="SCM structure options: linear or nonlinear")
+    parser.add_argument("--flow_num", default=1, type=int,
+                        help="the number of invertible NN flow")
+    parser.add_argument("--inverse_loop", default=100, type=int,
+                        help="the number of inverse loop")
+    parser.add_argument("--factor", default=[1, 1, 2], type=arg_as_list,
+                        help="Numbers of latents allocated to each factor")
+    parser.add_argument("--labeled_ratio", default=1, type=float,
+                        help="ratio of labeled dataset for semi-supervised")
+    parser.add_argument("--label_normalization", default=True, type=bool,
+                        help="If True, normalize additional label data")
+    parser.add_argument("--adjacency_scaling", default=True, type=bool,
+                        help="If True, scale adjacency matrix by in-degree")
+    parser.add_argument("--image_size", default=64, type=int,
+                        help="width and height of image")
+    parser.add_argument("--epochs", default=100, type=int,
+                        help="maximum iteration")
+    parser.add_argument("--batch_size", default=128, type=int,
+                        help="batch size")
+    parser.add_argument("--lr", default=0.001, type=float,
+                        help="learning rate")
+    parser.add_argument("--lr_D", default=0.0001, type=float,
+                        help="learning rate for discriminator in InfoMax")
+    parser.add_argument("--beta", default=0.1, type=float,
+                        help="observation noise")
+    parser.add_argument("--lambda", default=5, type=float,
+                        help="weight of label alignment loss")
+    parser.add_argument("--gamma", default=1, type=float,
+                        help="weight of f-divergence (InfoMax)")
+    add_infra_args(parser)
+    if debug:
+        return parser.parse_args(args=[])
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    config = vars(get_args(argv=argv))
+    set_random_seed(config["seed"])
+    logger = MetricLogger(logdir=config["assets_dir"],
+                          use_wandb=config["wandb"], tags=["VAEBased"],
+                          config=config)
+
+    dataset = PendulumDataset(
+        image_size=config["image_size"], train=True,
+        labeled_ratio=config["labeled_ratio"],
+        label_normalization=config["label_normalization"],
+        seed=config["seed"])
+    x_data = jax.device_put(dataset.x_data)
+    y_data = jax.device_put(dataset.y_data)
+
+    model, discriminator = build_pendulum_model(config)
+    key = jax.random.key(config["seed"])
+    k_model, k_disc, k_train = jax.random.split(key, 3)
+    params = model.init(k_model)
+
+    mesh = resolve_mesh(config)
+    optimizer = optax.adam(config["lr"])
+    opt_state = optimizer.init(params)
+
+    if config["model"] == "InfoMax":
+        d_params = discriminator.init(k_disc)
+        optimizer_d = optax.adam(config["lr_D"])
+        opt_state_d = optimizer_d.init(d_params)
+        step = make_infomax_step(model, discriminator, optimizer,
+                                 optimizer_d, config["beta"],
+                                 config["lambda"], config["gamma"], mesh=mesh)
+        state = (params, d_params, opt_state, opt_state_d)
+    else:
+        step = make_train_step(model, optimizer, config["beta"],
+                               config["lambda"], mesh=mesh)
+        state = (params, opt_state)
+
+    shuffle_rng = np.random.default_rng(config["seed"])
+    os.makedirs(config["assets_dir"], exist_ok=True)
+
+    for epoch in range(config["epochs"]):
+        state, metrics = train_epoch(
+            step, state, x_data, y_data, config["batch_size"], k_train,
+            epoch, shuffle_rng, drop_remainder=mesh is not None)
+        print(format_epoch(epoch, metrics))
+        logger.log(metrics, step=epoch)
+
+        if epoch % 10 == 0:
+            out = model(state[0], x_data[:9], deterministic=False,
+                        rng=jax.random.fold_in(k_train, -1))
+            viz_recon_grid(np.asarray(out.xhat),
+                           f"{config['assets_dir']}/tmp_image_{epoch}.png")
+
+    out = model(state[0], x_data[:9],
+                rng=jax.random.fold_in(k_train, -1))
+    viz_recon_grid(np.asarray(out.xhat), f"{config['assets_dir']}/recon.png")
+    logger.log_image("reconstruction", f"{config['assets_dir']}/recon.png")
+
+    ckpt = os.path.join(config["assets_dir"],
+                        f"model_{config['model']}_{config['scm']}")
+    save_checkpoint(ckpt, state[0],
+                    opt_state=state[-1] if config["model"] != "InfoMax"
+                    else state[2],
+                    step=config["epochs"], config=config)
+    print(f"checkpoint saved to {ckpt}")
+    logger.finish()
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Downstream evaluations: sample efficiency and distributional robustness.
+
+Library form of reference sample_efficiency.py and DR/robustness.py. The
+downstream classifier (node->2->1 sigmoid MLP on posterior means) is trained
+fully on device with a jitted Adam step; the reference's 10-repeat × 100-500
+epoch eager loops become a few seconds of fused steps.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.classifier import DownstreamClassifier
+
+_BETA = np.array([1.0, -1.0, 0.5, -0.5])
+
+
+def extract_representations(model, params, x_data, batch_size: int = 512):
+    """Posterior means for the whole dataset (reference
+    sample_efficiency.py:168, DR/robustness.py:174)."""
+    post = jax.jit(lambda p, x: model.get_posterior(p, x)[0])
+    outs = [np.asarray(post(params, x_data[i: i + batch_size]))
+            for i in range(0, len(x_data), batch_size)]
+    return np.concatenate(outs, axis=0)
+
+
+def synthetic_targets(labels: np.ndarray, rng: np.random.Generator):
+    """Bernoulli targets from the label logit (reference
+    sample_efficiency.py:176: sigmoid(logit + 2·sin(logit)); note the sign
+    differs from the DGP's -2·sin — replicated as written)."""
+    logit = labels[:, :4] @ _BETA
+    p = 1.0 / (1.0 + np.exp(-logit - 2.0 * np.sin(logit)))
+    return rng.binomial(1, p).astype(np.float32)[:, None]
+
+
+def train_downstream(reps: np.ndarray, targets: np.ndarray, key,
+                     epochs: int = 100, batch_size: int = 32,
+                     lr: float = 0.005, shuffle_rng=None):
+    """Train the node->2->1 downstream classifier; returns (clf, params)."""
+    clf = DownstreamClassifier(reps.shape[1])
+    params = clf.init(key)
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+    shuffle_rng = shuffle_rng or np.random.default_rng(0)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            pred = jnp.clip(clf(p, x), 1e-7, 1 - 1e-7)
+            return -(y * jnp.log(pred)
+                     + (1 - y) * jnp.log(1 - pred)).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    x_dev, y_dev = jnp.asarray(reps), jnp.asarray(targets)
+    n = len(reps)
+    for _ in range(epochs):
+        perm = shuffle_rng.permutation(n)
+        for i in range(0, n, batch_size):
+            idx = perm[i: i + batch_size]
+            params, opt_state, _ = step(params, opt_state, x_dev[idx],
+                                        y_dev[idx])
+    return clf, params
+
+
+def accuracy(clf, params, reps, targets) -> float:
+    pred = np.asarray(clf(params, jnp.asarray(reps))) > 0.5
+    return float((pred == targets).mean())
+
+
+def sample_efficiency(model, params, train_x, train_y, test_x, test_y,
+                      seed: int = 0, repeats: int = 10):
+    """acc(100 samples) / acc(all samples), 10 repeats
+    (reference sample_efficiency.py:368-389)."""
+    rng = np.random.default_rng(seed)
+    reps_train = extract_representations(model, params, train_x)
+    reps_test = extract_representations(model, params, test_x)
+    t_train = synthetic_targets(train_y, rng)
+    t_test = synthetic_targets(test_y, rng)
+
+    acc_100, acc_all = [], []
+    for r in range(repeats):
+        key = jax.random.key(seed * 1000 + r)
+        k1, k2 = jax.random.split(key)
+        sel = rng.permutation(len(reps_train))[:100]
+        clf, p100 = train_downstream(reps_train[sel], t_train[sel], k1,
+                                     epochs=100, batch_size=32,
+                                     shuffle_rng=rng)
+        acc_100.append(accuracy(clf, p100, reps_test, t_test))
+        clf, pall = train_downstream(reps_train, t_train, k2, epochs=100,
+                                     batch_size=64, shuffle_rng=rng)
+        acc_all.append(accuracy(clf, pall, reps_test, t_test))
+
+    a100, aall = float(np.mean(acc_100)), float(np.mean(acc_all))
+    return {"accuracy_100": a100, "accuracy_all": aall,
+            "sample_efficiency": a100 / aall}
+
+
+def worst_group_accuracy(clf, params, reps, targets,
+                         groups: np.ndarray) -> tuple[float, float]:
+    """(average, worst-group) accuracy, groups = background != target rows
+    (reference DR/robustness.py:268-295)."""
+    pred = (np.asarray(clf(params, jnp.asarray(reps))) > 0.5).astype(
+        np.float32)
+    correct = (pred == targets).astype(np.float32)[:, 0]
+    avg = float(correct.mean())
+    worst = min(float(correct[groups == g].mean())
+                for g in np.unique(groups))
+    return avg, worst
+
+
+def robustness(model, params, train_x, train_y, test_x, test_y,
+               seed: int = 0, repeats: int = 10, epochs: int = 500,
+               drop_last_latent: bool = True):
+    """DR robustness eval (reference DR/robustness.py): train the downstream
+    classifier on the first node-1 latent means (spurious dim dropped),
+    report average + worst-group accuracy where groups key on
+    background != target."""
+    rng = np.random.default_rng(seed)
+    reps_train = extract_representations(model, params, train_x)
+    reps_test = extract_representations(model, params, test_x)
+    if drop_last_latent:
+        reps_train, reps_test = reps_train[:, :4], reps_test[:, :4]
+    # labels: [...4 factors, background, target]
+    t_train = train_y[:, -1:].astype(np.float32)
+    t_test = test_y[:, -1:].astype(np.float32)
+    g_test = (test_y[:, -2] != test_y[:, -1]).astype(np.int32)
+
+    avgs, worsts = [], []
+    for r in range(repeats):
+        clf, p = train_downstream(reps_train, t_train,
+                                  jax.random.key(seed * 77 + r),
+                                  epochs=epochs, batch_size=64,
+                                  shuffle_rng=rng)
+        avg, worst = worst_group_accuracy(clf, p, reps_test, t_test, g_test)
+        avgs.append(avg)
+        worsts.append(worst)
+    return {"avg_accuracy": float(np.mean(avgs)),
+            "worst_group_accuracy": float(np.mean(worsts))}

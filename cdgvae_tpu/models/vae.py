@@ -1,0 +1,223 @@
+"""Pendulum-family VAE models (baseline VAE and CDG-VAE with masked GAM decoder).
+
+Functional re-designs of reference modules/model.py:102-304. Each model is a
+static-config object exposing ``init(key) -> params`` and pure apply methods
+(`get_posterior`, `encode`, `decode`, `__call__`) that mirror the reference's
+method surface so eval code ports 1:1. Differences from the reference, all
+semantics-preserving and TPU-motivated:
+
+* The K per-factor GAM decoders run as ONE stacked batched matmul
+  (`nn.stacked_mlp`) instead of a Python loop of separate modules
+  (reference modules/model.py:243-250, :284) — one MXU-tiled dot instead of
+  K small ones. Latent blocks are gathered by (static) per-block index lists,
+  zero-padded to equal width; padded inputs are zeroed so padded weight rows
+  are inert. Index lists also express the DR family's "spurious latent feeds
+  every block" wiring (DR/modules/model.py:283-288) without a new model.
+* The alignment branch re-uses the posterior mean already computed instead of
+  re-running the encoder deterministically on the same input (reference
+  modules/model.py:299-302 runs the encoder twice; the deterministic second
+  pass is byte-identical math, so this halves encoder cost with no semantic
+  change).
+* Sampling noise comes from an explicit ``jax.random`` key (device-side,
+  fold_in-able per step/shard) rather than a global RNG.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import nn
+from ..ops.causal import CausalGraph
+
+
+class VAEOutput(NamedTuple):
+    """Parity with the reference forward tuple (modules/model.py:290-304)."""
+    mean: jax.Array
+    logvar: jax.Array
+    epsilon: jax.Array
+    orig_latent: jax.Array
+    latent: jax.Array          # [batch, node] (reference: list of [batch,1])
+    logdet: jax.Array          # [batch, node]
+    align_latent: jax.Array    # [batch, node]
+    xhat_separated: Optional[jax.Array]  # [K, batch, out] or None
+    xhat: jax.Array            # [batch, H, W, 3]
+
+
+def default_block_indices(factor: Sequence[int]) -> list[list[int]]:
+    """Contiguous latent blocks from the ``factor`` split (reference
+    modules/model.py:283: torch.split(latent, factor))."""
+    out, start = [], 0
+    for k in factor:
+        out.append(list(range(start, start + k)))
+        start += k
+    return out
+
+
+class VAE:
+    """Baseline VAE: MLP encoder/decoder + causal latent layer
+    (reference modules/model.py:102-189)."""
+
+    def __init__(self, graph: CausalGraph, image_size: int = 64,
+                 hidden: int = 300, dtype=jnp.float32):
+        self.graph = graph
+        self.node = graph.node
+        self.image_size = image_size
+        self.in_dim = 3 * image_size * image_size
+        self.hidden = hidden
+        self.dtype = dtype
+
+    def init(self, key: jax.Array) -> dict:
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {
+            "encoder": nn.mlp_init(
+                k1, [self.in_dim, self.hidden, self.hidden, self.node * 2],
+                self.dtype),
+            "causal": self.graph.init(k2),
+            "decoder": nn.mlp_init(
+                k3, [self.node, self.hidden, self.hidden, self.in_dim],
+                self.dtype),
+        }
+
+    # -- reference method surface -------------------------------------------
+    def get_posterior(self, params, x):
+        h = nn.mlp(params["encoder"], x.reshape(x.shape[0], -1))
+        return h[:, : self.node], h[:, self.node:]
+
+    def encode(self, params, x, rng=None, deterministic=False):
+        mean, logvar = self.get_posterior(params, x)
+        if deterministic or rng is None:
+            epsilon = mean
+        else:
+            noise = jax.random.normal(rng, mean.shape, mean.dtype)
+            epsilon = mean + jnp.exp(logvar / 2.0) * noise
+        orig_latent, latent, logdet = self.graph.transform(
+            params["causal"], epsilon)
+        return mean, logvar, epsilon, orig_latent, latent, logdet
+
+    def decode(self, params, latent):
+        xhat = nn.mlp(params["decoder"], latent,
+                      final_activation=jnp.tanh)
+        return xhat.reshape(-1, self.image_size, self.image_size, 3)
+
+    def __call__(self, params, x, rng=None, deterministic=False) -> VAEOutput:
+        mean, logvar, epsilon, orig_latent, latent, logdet = self.encode(
+            params, x, rng, deterministic)
+        xhat = self.decode(params, latent)
+        # alignment branch: deterministic encode == transform of the mean
+        _, align_latent, _ = self.graph.transform(params["causal"], mean)
+        return VAEOutput(mean, logvar, epsilon, orig_latent, latent, logdet,
+                         align_latent, None, xhat)
+
+
+class CDGVAE:
+    """CDG-VAE: shared encoder + K masked per-factor GAM decoders
+    (reference modules/model.py:208-304).
+
+    ``masks``: [K, H, W, 3] static spatial masks (reference main.py:167-179).
+    ``block_indices``: which latent dims feed each decoder block; defaults to
+    the contiguous ``factor`` split. The DR variant passes
+    ``[[0,4],[1,4],[2,3,4]]`` to concatenate the spurious 5th latent into
+    every block (DR/modules/model.py:283-288).
+    """
+
+    def __init__(self, graph: CausalGraph, masks, factor: Sequence[int],
+                 image_size: int = 64, hidden: int = 300,
+                 block_indices: Optional[list[list[int]]] = None,
+                 dtype=jnp.float32):
+        if block_indices is None:
+            assert sum(factor) == graph.node
+            block_indices = default_block_indices(factor)
+        assert len(factor) == len(block_indices)
+        masks = jnp.asarray(masks, dtype=dtype)
+        assert masks.shape[0] == len(block_indices)
+
+        self.graph = graph
+        self.node = graph.node
+        self.factor = tuple(factor)
+        self.K = len(block_indices)
+        self.image_size = image_size
+        self.out_dim = 3 * image_size * image_size
+        self.hidden = hidden
+        self.masks = masks
+        self.dtype = dtype
+
+        self.kmax = max(len(b) for b in block_indices)
+        # gather indices [K, kmax] (padded with 0) + validity mask [K, kmax]
+        gather = np.zeros((self.K, self.kmax), dtype=np.int32)
+        valid = np.zeros((self.K, self.kmax), dtype=np.float32)
+        for i, blk in enumerate(block_indices):
+            gather[i, : len(blk)] = blk
+            valid[i, : len(blk)] = 1.0
+        self.block_indices = [list(b) for b in block_indices]
+        self._gather = jnp.asarray(gather)
+        self._valid = jnp.asarray(valid, dtype=dtype)
+
+    def init(self, key: jax.Array) -> dict:
+        k1, k2, k3 = jax.random.split(key, 3)
+        in_dim = 3 * self.image_size * self.image_size
+        return {
+            "encoder": nn.mlp_init(
+                k1, [in_dim, self.hidden, self.hidden, self.node * 2],
+                self.dtype),
+            "causal": self.graph.init(k2),
+            "decoder": nn.stacked_mlp_init(
+                k3, self.K, [self.kmax, self.hidden, self.hidden,
+                             self.out_dim], self.dtype),
+        }
+
+    # -- reference method surface -------------------------------------------
+    def get_posterior(self, params, x):
+        h = nn.mlp(params["encoder"], x.reshape(x.shape[0], -1))
+        return h[:, : self.node], h[:, self.node:]
+
+    def encode(self, params, x, rng=None, deterministic=False):
+        mean, logvar = self.get_posterior(params, x)
+        if deterministic or rng is None:
+            epsilon = mean
+        else:
+            noise = jax.random.normal(rng, mean.shape, mean.dtype)
+            epsilon = mean + jnp.exp(logvar / 2.0) * noise
+        orig_latent, latent, logdet = self.graph.transform(
+            params["causal"], epsilon)
+        return mean, logvar, epsilon, orig_latent, latent, logdet
+
+    def decode(self, params, latent):
+        """latent [batch, node] -> (xhat_separated [K,batch,out], xhat image).
+
+        One stacked-MLP evaluation of all K GAM decoders; per-block spatial
+        masking + sum + tanh (reference modules/model.py:281-288).
+        """
+        # [batch, node] -> [K, batch, kmax], zero-padded per block
+        blocks = latent[:, self._gather]            # [batch, K, kmax]
+        blocks = blocks * self._valid               # zero padded positions
+        blocks = jnp.transpose(blocks, (1, 0, 2))   # [K, batch, kmax]
+        xhat_sep = nn.stacked_mlp(params["decoder"], blocks)  # [K,batch,out]
+        imgs = xhat_sep.reshape(self.K, -1, self.image_size, self.image_size,
+                                3)
+        masked = imgs * self.masks[:, None]         # [K,batch,H,W,3]
+        xhat = jnp.tanh(jnp.sum(masked, axis=0))
+        return xhat_sep, xhat
+
+    def __call__(self, params, x, rng=None, deterministic=False) -> VAEOutput:
+        mean, logvar, epsilon, orig_latent, latent, logdet = self.encode(
+            params, x, rng, deterministic)
+        xhat_separated, xhat = self.decode(params, latent)
+        _, align_latent, _ = self.graph.transform(params["causal"], mean)
+        return VAEOutput(mean, logvar, epsilon, orig_latent, latent, logdet,
+                         align_latent, xhat_separated, xhat)
+
+
+def pendulum_masks(image_size: int = 64, k: int = 3) -> np.ndarray:
+    """The fixed pendulum decoder masks: light rows [0:20), angle [20:51),
+    shadow [51:) (reference main.py:167-179; rows are 64px-calibrated and
+    scaled proportionally for other sizes)."""
+    bounds = [0, 20, 51, image_size]
+    if image_size != 64:
+        bounds = [int(round(b * image_size / 64)) for b in bounds]
+    masks = np.zeros((k, image_size, image_size, 3), dtype=np.float32)
+    for i in range(k):
+        masks[i, bounds[i]: bounds[i + 1]] = 1.0
+    return masks

@@ -91,16 +91,25 @@ def _paint(img, cov, color):
     return img * (1.0 - cov[..., None]) + color * cov[..., None]
 
 
+_BLUE = jnp.array([0.0, 0.0, 1.0])
+
+
 @partial(jax.jit, static_argnames=("size",))
-def render(factors: jax.Array, size: int = 64) -> jax.Array:
+def render(factors: jax.Array, size: int = 64,
+           background: jax.Array | None = None) -> jax.Array:
     """Render a batch of pendulum scenes.
 
     factors: [batch, 4] = (light_angle, pendulum_angle, shadow_length,
     shadow_position) — the four causal factors xi_1..xi_4 of the DGP.
+    background: optional [batch] 0/1 — the DR family's spurious attribute;
+    1 paints the canvas blue instead of white (reference
+    DR/modules/pendulum_DR.py:164: ax.set_facecolor('blue')).
     Returns [batch, size, size, 3] float32 in [-1, 1], channels-last (the
     reference's HWC convention, modules/datasets.py:43).
     """
     xi1, xi2, xi3, xi4 = (factors[:, i] for i in range(4))
+    if background is None:
+        background = jnp.zeros(factors.shape[0], factors.dtype)
 
     light_x = CENTER[0] + 10.0 / jnp.tan(xi1)
     ball_x = CENTER[0] + (ROD_LEN - 1.5) * jnp.sin(xi2)
@@ -113,8 +122,9 @@ def render(factors: jax.Array, size: int = 64) -> jax.Array:
 
     lw_half = 0.5 * _LINEWIDTH_PT / 72.0 * size  # line half-width in px
 
-    def one(lx, bx, by, s3, s4):
-        img = jnp.broadcast_to(_WHITE, (size, size, 3))
+    def one(lx, bx, by, s3, s4, bg):
+        base = jnp.where(bg > 0.5, _BLUE, _WHITE)
+        img = jnp.broadcast_to(base, (size, size, 3))
         # sun
         d = _ellipse_distance(px, py, lx, 20.5, 3.0, size)
         img = _paint(img, _coverage(d), _ORANGE)
@@ -130,5 +140,6 @@ def render(factors: jax.Array, size: int = 64) -> jax.Array:
         img = _paint(img, _coverage(d - lw_half), _BLACK)
         return img
 
-    imgs = jax.vmap(one)(light_x, ball_x, ball_y, xi3, xi4)
+    imgs = jax.vmap(one)(light_x, ball_x, ball_y, xi3, xi4,
+                         background.astype(factors.dtype))
     return imgs * 2.0 - 1.0

@@ -1,0 +1,87 @@
+"""Epoch driver: shuffling, batching, device-side metric accumulation.
+
+The reference's train loops sync every batch via ``.item()`` on every loss
+term (modules/train.py:207). Here per-batch metric dicts stay ON DEVICE; the
+epoch mean is computed in one stacked reduction and synced once per epoch —
+the host never blocks inside the hot loop.
+"""
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class Averager:
+    """Accumulates device-scalar metric dicts; one host sync on result()."""
+
+    def __init__(self):
+        self._acc = []
+
+    def add(self, metrics: dict):
+        self._acc.append(metrics)
+
+    def result(self) -> dict:
+        if not self._acc:
+            return {}
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs).mean(), *self._acc)
+        host = jax.device_get(stacked)
+        return {k: float(v) for k, v in host.items()}
+
+
+def batch_indices(n: int, batch_size: int, shuffle_rng: np.random.Generator,
+                  drop_remainder: bool = False) -> Iterator[np.ndarray]:
+    """Shuffled batch index iterator (reference: DataLoader(shuffle=True),
+    drop_last=False — the final partial batch is kept unless dropping for a
+    fixed-shape sharded step)."""
+    perm = shuffle_rng.permutation(n)
+    end = n - (n % batch_size) if drop_remainder else n
+    for i in range(0, end, batch_size):
+        yield perm[i: i + batch_size]
+
+
+def train_epoch(step: Callable, state: tuple, x, y, batch_size: int,
+                rng: jax.Array, epoch: int,
+                shuffle_rng: np.random.Generator,
+                drop_remainder: bool = False) -> tuple[tuple, dict]:
+    """One epoch of the supervised step. ``state`` = (params, opt_state, ...)
+    threaded through; returns (state, epoch-mean metric dict)."""
+    n = len(x)
+    avg = Averager()
+    for b, idx in enumerate(batch_indices(n, batch_size, shuffle_rng,
+                                          drop_remainder)):
+        step_rng = jax.random.fold_in(jax.random.fold_in(rng, epoch), b)
+        *state, metrics = step(*state, x[idx], y[idx], step_rng)
+        avg.add(metrics)
+    return tuple(state), avg.result()
+
+
+def train_epoch_semi(step: Callable, state: tuple, x_u, x_l, y_l,
+                     batch_size: int, batch_size_l: int, rng: jax.Array,
+                     epoch: int, shuffle_rng: np.random.Generator,
+                     drop_remainder: bool = False) -> tuple[tuple, dict]:
+    """Semi-supervised epoch: iterate the unlabeled loader, cycling the
+    labeled loader with reshuffle-on-exhaustion (reference
+    modules/train.py:222-231)."""
+    avg = Averager()
+    labeled_iter = batch_indices(len(x_l), batch_size_l, shuffle_rng)
+    for b, idx_u in enumerate(batch_indices(len(x_u), batch_size,
+                                            shuffle_rng, drop_remainder)):
+        try:
+            idx_l = next(labeled_iter)
+        except StopIteration:
+            labeled_iter = batch_indices(len(x_l), batch_size_l, shuffle_rng)
+            idx_l = next(labeled_iter)
+        step_rng = jax.random.fold_in(jax.random.fold_in(rng, epoch), b)
+        *state, metrics = step(*state, x_u[idx_u], x_l[idx_l], y_l[idx_l],
+                               step_rng)
+        avg.add(metrics)
+    return tuple(state), avg.result()
+
+
+def format_epoch(epoch: int, metrics: dict) -> str:
+    """The reference's console line format (main.py:206-208)."""
+    body = "".join(f", {k}: {v:.4f}" for k, v in metrics.items())
+    return f"[epoch {epoch + 1:03d}]{body}"

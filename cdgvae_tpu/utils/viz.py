@@ -1,0 +1,76 @@
+"""Visualisation helpers (reference modules/viz.py + the inline matplotlib
+dumps in the entry points). All functions write PNGs and return the figure."""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def viz_recon_grid(xhat: np.ndarray, path: str, n: int = 9):
+    """3x3 grid of reconstructions in [0,1] (reference main.py:213-220)."""
+    plt = _plt()
+    fig = plt.figure(figsize=(4, 4))
+    for i in range(n):
+        plt.subplot(3, 3, i + 1)
+        plt.imshow(np.clip((np.asarray(xhat[i]) + 1) / 2, 0, 1))
+        plt.axis("off")
+    plt.savefig(path)
+    plt.close(fig)
+    return fig
+
+
+def viz_do_grid(images: np.ndarray, path: str, row_names=None):
+    """[node, n_values, H, W, 3] do-intervention sweep grid
+    (reference inference.py:298-334)."""
+    plt = _plt()
+    node, k = images.shape[:2]
+    fig, ax = plt.subplots(node, k, figsize=(k, node * 0.6 + 1))
+    for i in range(node):
+        for j in range(k):
+            a = ax[i, j] if node > 1 else ax[j]
+            a.imshow(np.clip((np.asarray(images[i, j]) + 1) / 2, 0, 1))
+            a.axis("off")
+        if row_names is not None:
+            (ax[i, 0] if node > 1 else ax[0]).set_ylabel(row_names[i])
+    plt.tight_layout()
+    plt.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+    return fig
+
+
+def viz_heatmap(arr: np.ndarray, path: str | None = None, size=(7, 7)):
+    """pcolor heatmap (reference modules/viz.py:viz_heatmap)."""
+    plt = _plt()
+    fig = plt.figure(figsize=size)
+    plt.pcolor(np.asarray(arr), cmap="coolwarm")
+    plt.colorbar()
+    if path:
+        plt.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+    return fig
+
+
+def viz_graph(B: np.ndarray, names, path: str | None = None):
+    """networkx DAG drawing (reference modules/viz.py:viz_graph)."""
+    import networkx as nx
+    plt = _plt()
+    fig = plt.figure(figsize=(5, 5))
+    g = nx.DiGraph()
+    n = B.shape[0]
+    g.add_nodes_from(names[:n])
+    for i in range(n):
+        for j in range(n):
+            if abs(B[i, j]) > 0:
+                g.add_edge(names[i], names[j])
+    nx.draw_networkx(g, pos=nx.circular_layout(g), node_color="lightblue",
+                     node_size=1200)
+    if path:
+        plt.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+    return fig
