@@ -1,0 +1,111 @@
+"""DR-family training entry point (reference DR/main.py): node=5 with the
+spurious background latent wired into every GAM decoder block, λ=20."""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import jax
+import optax
+
+from ..data.pendulum_dr import PendulumDRDataset
+from ..factory import build_pendulum_model
+from ..train.steps import make_train_step, make_infomax_step
+from ..train.loop import train_epoch, format_epoch
+from ..utils.simulation import set_random_seed
+from ..utils.checkpoint import save_checkpoint
+from ..utils.logging import MetricLogger
+from ..utils.viz import viz_recon_grid
+from .common import arg_as_list, add_infra_args, resolve_mesh
+
+
+def get_args(debug: bool = False, argv=None):
+    parser = argparse.ArgumentParser("parameters")
+    # parity with reference DR/main.py:61-108
+    parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument("--model", type=str, default="CDGVAE")
+    parser.add_argument("--node", default=5, type=int)
+    parser.add_argument("--scm", default="linear", type=str)
+    parser.add_argument("--flow_num", default=1, type=int)
+    parser.add_argument("--inverse_loop", default=100, type=int)
+    parser.add_argument("--factor", default=[1, 1, 2], type=arg_as_list)
+    parser.add_argument("--labeled_ratio", default=1, type=float)
+    parser.add_argument("--label_normalization", default=True, type=bool)
+    parser.add_argument("--adjacency_scaling", default=True, type=bool)
+    parser.add_argument("--image_size", default=64, type=int)
+    parser.add_argument("--epochs", default=100, type=int)
+    parser.add_argument("--batch_size", default=128, type=int)
+    parser.add_argument("--lr", default=0.001, type=float)
+    parser.add_argument("--lr_D", default=0.0001, type=float)
+    parser.add_argument("--beta", default=0.1, type=float)
+    parser.add_argument("--lambda", default=20, type=float)
+    parser.add_argument("--gamma", default=1, type=float)
+    add_infra_args(parser)
+    if debug:
+        return parser.parse_args(args=[])
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    config = vars(get_args(argv=argv))
+    set_random_seed(config["seed"])
+    logger = MetricLogger(logdir=config["assets_dir"],
+                          use_wandb=config["wandb"], tags=["VAEBased", "DR"],
+                          config=config)
+
+    dataset = PendulumDRDataset(
+        image_size=config["image_size"], train=True,
+        labeled_ratio=config["labeled_ratio"],
+        label_normalization=config["label_normalization"],
+        seed=config["seed"])
+    x_data = jax.device_put(dataset.x_data)
+    y_data = jax.device_put(dataset.y_data)
+
+    model, discriminator = build_pendulum_model(config, spurious=True)
+    key = jax.random.key(config["seed"])
+    k_model, k_disc, k_train = jax.random.split(key, 3)
+    params = model.init(k_model)
+    mesh = resolve_mesh(config)
+    optimizer = optax.adam(config["lr"])
+
+    if config["model"] == "InfoMax":
+        d_params = discriminator.init(k_disc)
+        optimizer_d = optax.adam(config["lr_D"])
+        step = make_infomax_step(model, discriminator, optimizer,
+                                 optimizer_d, config["beta"],
+                                 config["lambda"], config["gamma"],
+                                 mesh=mesh)
+        state = (params, d_params, optimizer.init(params),
+                 optimizer_d.init(d_params))
+    else:
+        step = make_train_step(model, optimizer, config["beta"],
+                               config["lambda"], mesh=mesh)
+        state = (params, optimizer.init(params))
+
+    shuffle_rng = np.random.default_rng(config["seed"])
+    os.makedirs(config["assets_dir"], exist_ok=True)
+    for epoch in range(config["epochs"]):
+        state, metrics = train_epoch(
+            step, state, x_data, y_data, config["batch_size"], k_train,
+            epoch, shuffle_rng, drop_remainder=mesh is not None)
+        print(format_epoch(epoch, metrics))
+        logger.log(metrics, step=epoch)
+        if epoch % 10 == 0:
+            out = model(state[0], x_data[:9],
+                        rng=jax.random.fold_in(k_train, -1))
+            viz_recon_grid(np.asarray(out.xhat),
+                           f"{config['assets_dir']}/tmp_image_{epoch}.png")
+
+    ckpt = os.path.join(config["assets_dir"],
+                        f"model_DR_{config['model']}_{config['scm']}")
+    save_checkpoint(ckpt, state[0], opt_state=state[1] if
+                    config["model"] != "InfoMax" else state[2],
+                    step=config["epochs"], config=config)
+    print(f"checkpoint saved to {ckpt}")
+    logger.finish()
+    return state
+
+
+if __name__ == "__main__":
+    main()
