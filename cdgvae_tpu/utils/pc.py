@@ -1,0 +1,155 @@
+"""PC causal-discovery algorithm with Fisher-z conditional-independence test.
+
+Self-contained replacement for the reference's causallearn dependency
+(tabular/inference.py:184, tabular/dag_*.py). Implements PC-stable with
+v-structure orientation and Meek rules R1-R4, returning the CPDAG in
+causallearn's adjacency encoding so the reference's custom SHD
+(tabular/inference.py:255-261) ports verbatim:
+
+    graph[i, j] = -1 and graph[j, i] =  1   for a directed edge i -> j
+    graph[i, j] = -1 and graph[j, i] = -1   for an undirected edge i - j
+    graph[i, j] =  0                        for no edge
+"""
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+from scipy.stats import norm
+
+
+def fisher_z_pvalue(corr: np.ndarray, n: int, i: int, j: int,
+                    cond: tuple) -> float:
+    """Fisher-z test of partial correlation rho(i, j | cond)."""
+    idx = [i, j, *cond]
+    sub = corr[np.ix_(idx, idx)]
+    try:
+        prec = np.linalg.inv(sub)
+    except np.linalg.LinAlgError:
+        prec = np.linalg.pinv(sub)
+    r = -prec[0, 1] / np.sqrt(prec[0, 0] * prec[1, 1])
+    r = np.clip(r, -0.9999999, 0.9999999)
+    z = 0.5 * np.log((1 + r) / (1 - r))
+    stat = np.sqrt(max(n - len(cond) - 3, 1)) * abs(z)
+    return 2.0 * (1.0 - norm.cdf(stat))
+
+
+def pc(data: np.ndarray, alpha: float = 0.05, max_cond: int | None = None):
+    """PC-stable on continuous data. Returns (graph, sepsets) where graph is
+    the CPDAG in causallearn encoding."""
+    data = np.asarray(data, dtype=np.float64)
+    n, d = data.shape
+    # guard constant columns
+    std = data.std(axis=0)
+    data = (data - data.mean(axis=0)) / np.where(std == 0, 1.0, std)
+    corr = np.corrcoef(data, rowvar=False)
+    corr = np.nan_to_num(corr, nan=0.0)
+    np.fill_diagonal(corr, 1.0)
+
+    adj = np.ones((d, d), dtype=bool)
+    np.fill_diagonal(adj, False)
+    sepset = {}
+    max_cond = d - 2 if max_cond is None else max_cond
+
+    level = 0
+    while level <= max_cond:
+        any_tested = False
+        adj_frozen = adj.copy()  # PC-stable: neighbor sets fixed per level
+        for i in range(d):
+            for j in range(i + 1, d):
+                if not adj[i, j]:
+                    continue
+                neighbors = [k for k in range(d)
+                             if adj_frozen[i, k] and k != j]
+                if len(neighbors) < level:
+                    continue
+                for cond in combinations(neighbors, level):
+                    any_tested = True
+                    if fisher_z_pvalue(corr, n, i, j, cond) > alpha:
+                        adj[i, j] = adj[j, i] = False
+                        sepset[(i, j)] = sepset[(j, i)] = set(cond)
+                        break
+        if not any_tested:
+            break
+        level += 1
+
+    # skeleton -> partially directed graph
+    # directed[i, j] == True means i -> j
+    directed = np.zeros((d, d), dtype=bool)
+    undirected = adj.copy()
+
+    # v-structures: i - k - j, i !~ j, k not in sepset(i, j) => i -> k <- j
+    for k in range(d):
+        nbrs = [x for x in range(d) if adj[x, k]]
+        for i, j in combinations(nbrs, 2):
+            if adj[i, j]:
+                continue
+            if k not in sepset.get((i, j), set()):
+                if undirected[i, k]:
+                    directed[i, k] = True
+                    undirected[i, k] = undirected[k, i] = False
+                if undirected[j, k]:
+                    directed[j, k] = True
+                    undirected[j, k] = undirected[k, j] = False
+
+    # Meek rules until fixpoint
+    changed = True
+    while changed:
+        changed = False
+        for i in range(d):
+            for j in range(d):
+                if not undirected[i, j]:
+                    continue
+                # R1: k -> i, k !~ j  =>  i -> j
+                if any(directed[k, i] and not adj[k, j] and k != j
+                       for k in range(d)):
+                    directed[i, j] = True
+                    undirected[i, j] = undirected[j, i] = False
+                    changed = True
+                    continue
+                # R2: i -> k -> j  =>  i -> j
+                if any(directed[i, k] and directed[k, j] for k in range(d)):
+                    directed[i, j] = True
+                    undirected[i, j] = undirected[j, i] = False
+                    changed = True
+                    continue
+                # R3: i - k1 -> j, i - k2 -> j, k1 !~ k2  =>  i -> j
+                ks = [k for k in range(d)
+                      if undirected[i, k] and directed[k, j]]
+                if any(not adj[k1, k2] for k1, k2 in combinations(ks, 2)):
+                    directed[i, j] = True
+                    undirected[i, j] = undirected[j, i] = False
+                    changed = True
+                    continue
+                # R4: i - k1, k1 -> k2, k2 -> j, k1 !~ j => i -> j
+                for k1 in range(d):
+                    if not (undirected[i, k1] or adj[i, k1]):
+                        continue
+                    if any(directed[k1, k2] and directed[k2, j]
+                           and not adj[k1, j] for k2 in range(d)):
+                        directed[i, j] = True
+                        undirected[i, j] = undirected[j, i] = False
+                        changed = True
+                        break
+
+    graph = np.zeros((d, d), dtype=int)
+    for i in range(d):
+        for j in range(d):
+            if directed[i, j]:
+                graph[i, j] = -1
+                graph[j, i] = 1
+            elif undirected[i, j]:
+                graph[i, j] = -1
+    return graph, sepset
+
+
+def cpdag_shd(G1: np.ndarray, G2: np.ndarray) -> int:
+    """The reference's custom SHD between two CPDAGs in causallearn encoding
+    (tabular/inference.py:255-261): upper-triangular mismatch count plus an
+    orientation penalty on matching upper-triangular entries."""
+    shd = int((np.triu(G1) != np.triu(G2)).sum())
+    nonzero_idx = np.where(np.triu(G2) != 0)
+    flag = np.triu(G1)[nonzero_idx] == np.triu(G2)[nonzero_idx]
+    nonzero_idx = (nonzero_idx[1][flag], nonzero_idx[0][flag])
+    shd += int((np.tril(G1)[nonzero_idx] != np.tril(G2)[nonzero_idx]).sum())
+    return shd
