@@ -1,0 +1,119 @@
+"""CelebA CDG-VAE training entry point (reference celeba/main.py).
+
+Unlike the reference (which never saves the celeba model), this writes a
+full checkpoint at the end.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import jax
+import optax
+
+from ..data.celeba import CelebADataset
+from ..models.celeba import CelebACDGVAE, celeba_B
+from ..ops.causal import CausalGraph
+from ..train.celeba_steps import make_celeba_step
+from ..train.loop import train_epoch, format_epoch
+from ..utils.simulation import set_random_seed
+from ..utils.checkpoint import save_checkpoint
+from ..utils.logging import MetricLogger
+from ..utils.viz import viz_recon_grid
+from .common import add_infra_args, resolve_mesh
+
+
+def get_args(debug: bool = False, argv=None):
+    parser = argparse.ArgumentParser("parameters")
+    # parity with reference celeba/main.py:20-56
+    parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument("--model", type=str, default="CDGVAE")
+    parser.add_argument("--causal_structure", default=0, type=int,
+                        help="0: smile, 1: attractive")
+    parser.add_argument("--node", default=6, type=int)
+    parser.add_argument("--latent_dim", default=6, type=int)
+    parser.add_argument("--scm", default="linear", type=str)
+    parser.add_argument("--flow_num", default=1, type=int)
+    parser.add_argument("--inverse_loop", default=100, type=int)
+    parser.add_argument("--labeled_ratio", default=1, type=float)
+    parser.add_argument("--label_normalization", default=True, type=bool)
+    parser.add_argument("--adjacency_scaling", default=True, type=bool)
+    parser.add_argument("--img_size", default=128, type=int)
+    parser.add_argument("--epochs", default=100, type=int)
+    parser.add_argument("--batch_size", default=16, type=int)
+    parser.add_argument("--lr", default=0.001, type=float)
+    parser.add_argument("--beta", default=0.1, type=float)
+    parser.add_argument("--lambda", default=5, type=float)
+    parser.add_argument("--data_dir", default="./data", type=str)
+    parser.add_argument("--conv_dim", default=32, type=int)
+    parser.add_argument("--train_trunk", action="store_true",
+                        help="train the encoder trunk end-to-end instead of "
+                             "freezing it (reference freezes a pretrained "
+                             "resnet18; no pretrained weights offline)")
+    add_infra_args(parser)
+    if debug:
+        return parser.parse_args(args=[])
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    config = vars(get_args(argv=argv))
+    set_random_seed(config["seed"])
+    logger = MetricLogger(logdir=config["assets_dir"],
+                          use_wandb=config["wandb"], tags=["CelebA"],
+                          config=config)
+
+    dataset = CelebADataset(data_dir=config["data_dir"],
+                            causal_structure=config["causal_structure"],
+                            train=True, img_size=config["img_size"],
+                            seed=config["seed"])
+    x_data = jax.device_put(dataset.x_data)
+    y_data = jax.device_put(dataset.y_data)
+
+    B = celeba_B(dataset.nodes, config["causal_structure"],
+                 config["adjacency_scaling"])
+    graph = CausalGraph(B, scm=config["scm"], flow_num=config["flow_num"],
+                        inverse_loop=config["inverse_loop"])
+    model = CelebACDGVAE(graph, latent_dim=config["latent_dim"],
+                         image_size=config["img_size"],
+                         conv_dim=config["conv_dim"],
+                         freeze_trunk=not config["train_trunk"])
+    key = jax.random.key(config["seed"])
+    k_model, k_train = jax.random.split(key)
+    params = model.init(k_model)
+
+    mesh = resolve_mesh(config)
+    optimizer = optax.adam(config["lr"])
+    step = make_celeba_step(model, optimizer, config["beta"],
+                            config["lambda"], mesh=mesh)
+    state = (params, optimizer.init(params))
+
+    shuffle_rng = np.random.default_rng(config["seed"])
+    os.makedirs(config["assets_dir"], exist_ok=True)
+    for epoch in range(config["epochs"]):
+        # reference uses drop_last=True (celeba/main.py:70-72)
+        state, metrics = train_epoch(
+            step, state, x_data, y_data, config["batch_size"], k_train,
+            epoch, shuffle_rng, drop_remainder=True)
+        print(format_epoch(epoch, metrics))
+        logger.log(metrics, step=epoch)
+        if epoch % 10 == 0:
+            n = min(9, len(x_data))
+            out = model(state[0], x_data[:n],
+                        rng=jax.random.fold_in(k_train, -1))
+            viz_recon_grid(np.asarray(out.xhat),
+                           f"{config['assets_dir']}/tmp_image_{epoch}.png",
+                           n=n)
+
+    ckpt = os.path.join(config["assets_dir"],
+                        f"celeba_{config['model']}_{config['scm']}")
+    save_checkpoint(ckpt, state[0], opt_state=state[1],
+                    step=config["epochs"], config=config)
+    print(f"checkpoint saved to {ckpt}")
+    logger.finish()
+    return state
+
+
+if __name__ == "__main__":
+    main()

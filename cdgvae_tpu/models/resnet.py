@@ -1,0 +1,125 @@
+"""ResNet-18/34 encoder in functional JAX, NHWC.
+
+The reference uses torchvision's ImageNet-pretrained resnet18 with all layers
+frozen except a new fc head (celeba/module/model.py:117-125); it also ships
+its own full ResNet reimplementation as dead code (celeba/module/resnet.py).
+Pretrained ImageNet weights are not available offline in this environment, so
+this encoder initializes randomly; the trunk can still be frozen
+(``freeze_trunk=True``, the reference's configuration — making it a fixed
+random-feature extractor) or trained end-to-end (``freeze_trunk=False``,
+usually the better offline choice). DEVIATION from reference: random trunk
+weights instead of ImageNet weights.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+Params = dict
+
+
+def _kaiming_conv(key, shape, dtype=jnp.float32):
+    fan_out = shape[0] * shape[1] * shape[3]
+    std = math.sqrt(2.0 / fan_out)
+    return jax.random.normal(key, shape, dtype) * std
+
+
+def _conv_init(key, in_ch, out_ch, k, dtype=jnp.float32):
+    return {"w": _kaiming_conv(key, (k, k, in_ch, out_ch), dtype)}
+
+
+def _conv(p, x, stride=1):
+    return jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(stride, stride), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _bn_init(ch, dtype=jnp.float32):
+    return {"scale": jnp.ones((ch,), dtype), "bias": jnp.zeros((ch,), dtype)}
+
+
+def _bn(p, x, eps=1e-5):
+    mean = x.mean(axis=(0, 1, 2), keepdims=True)
+    var = x.var(axis=(0, 1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _basic_block_init(key, in_ch, out_ch, dtype=jnp.float32):
+    ks = jax.random.split(key, 3)
+    p = {
+        "conv1": _conv_init(ks[0], in_ch, out_ch, 3, dtype),
+        "bn1": _bn_init(out_ch, dtype),
+        "conv2": _conv_init(ks[1], out_ch, out_ch, 3, dtype),
+        "bn2": _bn_init(out_ch, dtype),
+    }
+    if in_ch != out_ch:
+        p["down_conv"] = _conv_init(ks[2], in_ch, out_ch, 1, dtype)
+        p["down_bn"] = _bn_init(out_ch, dtype)
+    return p
+
+
+def _basic_block(p, x, stride=1):
+    identity = x
+    h = jax.nn.relu(_bn(p["bn1"], _conv(p["conv1"], x, stride)))
+    h = _bn(p["bn2"], _conv(p["conv2"], h))
+    if "down_conv" in p:
+        identity = _bn(p["down_bn"], _conv(p["down_conv"], x, stride))
+    return jax.nn.relu(h + identity)
+
+
+_LAYERS = {"resnet18": [2, 2, 2, 2], "resnet34": [3, 4, 6, 3]}
+_WIDTHS = [64, 128, 256, 512]
+
+
+class ResNetEncoder:
+    """ResNet trunk + linear head, NHWC input in [0, 1] or [-1, 1]."""
+
+    def __init__(self, out_dim: int, depth: str = "resnet18",
+                 in_channels: int = 3, freeze_trunk: bool = True,
+                 dtype=jnp.float32):
+        self.out_dim = out_dim
+        self.layers = _LAYERS[depth]
+        self.in_channels = in_channels
+        self.freeze_trunk = freeze_trunk
+        self.dtype = dtype
+
+    def init(self, key) -> Params:
+        n_blocks = sum(self.layers)
+        ks = jax.random.split(key, n_blocks + 2)
+        p = {"stem_conv": _conv_init(ks[0], self.in_channels, 64, 7,
+                                     self.dtype),
+             "stem_bn": _bn_init(64, self.dtype)}
+        ki = 1
+        in_ch = 64
+        for li, (n, width) in enumerate(zip(self.layers, _WIDTHS)):
+            for bi in range(n):
+                p[f"layer{li}_{bi}"] = _basic_block_init(
+                    ks[ki], in_ch, width, self.dtype)
+                in_ch = width
+                ki += 1
+        bound = 1.0 / math.sqrt(512)
+        kw, kb = jax.random.split(ks[-1])
+        p["fc"] = {
+            "w": jax.random.uniform(kw, (512, self.out_dim), self.dtype,
+                                    -bound, bound),
+            "b": jax.random.uniform(kb, (self.out_dim,), self.dtype,
+                                    -bound, bound),
+        }
+        return p
+
+    def __call__(self, params: Params, x: jax.Array) -> jax.Array:
+        trunk = {k: v for k, v in params.items() if k != "fc"}
+        if self.freeze_trunk:
+            trunk = jax.lax.stop_gradient(trunk)
+        h = jax.nn.relu(_bn(trunk["stem_bn"],
+                            _conv(trunk["stem_conv"], x, stride=2)))
+        h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max,
+                                  (1, 3, 3, 1), (1, 2, 2, 1), "SAME")
+        for li, n in enumerate(self.layers):
+            for bi in range(n):
+                stride = 2 if (li > 0 and bi == 0) else 1
+                h = _basic_block(trunk[f"layer{li}_{bi}"], h, stride)
+        feat = h.mean(axis=(1, 2))  # global average pool
+        return feat @ params["fc"]["w"] + params["fc"]["b"]

@@ -1,0 +1,316 @@
+"""SAGAN building blocks in functional JAX, NHWC (TPU-native layout).
+
+Re-designs reference celeba/module/sagan.py: spectral-norm conv/linear
+wrappers, self-attention, noise injection, residual upsampling generator
+blocks, the 4x4 -> image_size Generator, and the (training-unused but
+shipped) discriminator blocks.
+
+Deviations from the torch original, both deliberate and documented:
+* Spectral norm is STATELESS: sigma is estimated per forward with
+  ``SN_POWER_ITERS`` power iterations from a persistent (non-updated) u
+  vector under stop_gradient, instead of torch's one-stateful-iteration-per-
+  forward (torch.nn.utils.spectral_norm). Asymptotically equivalent; avoids
+  threading mutable state through the functional API.
+* BatchNorm uses batch statistics in all modes (the reference never
+  switches its celeba model to eval mode, celeba/main.py has no model.eval()
+  or save); no running averages are kept.
+* Weight init is orthogonal with zero bias (sagan.py:15-17), matching the
+  reference's init_weights applied over the whole Generator.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+SN_POWER_ITERS = 3
+
+Params = dict
+
+
+def _orthogonal(key, shape, dtype=jnp.float32):
+    """Orthogonal init over (fan_in, fan_out) flattening, like torch
+    orthogonal_ on a conv/linear weight."""
+    if len(shape) == 2:
+        flat = shape
+    else:  # HWIO conv kernel: torch orthogonal_ flattens all but dim 0 of
+        # OIHW; equivalent here: rows = O, cols = H*W*I
+        flat = (shape[3], shape[0] * shape[1] * shape[2])
+    a = jax.random.normal(key, (max(flat), min(flat)), dtype)
+    q, r = jnp.linalg.qr(a)
+    q = q * jnp.sign(jnp.diagonal(r))
+    q = q[: flat[0], : flat[1]] if flat[0] >= flat[1] else \
+        q[: flat[1], : flat[0]].T
+    if len(shape) == 2:
+        return q.reshape(shape)
+    return q.reshape(shape[3], shape[0], shape[1], shape[2]).transpose(
+        1, 2, 3, 0)
+
+
+def _sn_sigma(w2d: jax.Array, u: jax.Array) -> jax.Array:
+    """Spectral norm of a [rows, cols] matrix by power iteration from u."""
+    for _ in range(SN_POWER_ITERS):
+        v = w2d.T @ u
+        v = v / (jnp.linalg.norm(v) + 1e-12)
+        u = w2d @ v
+        u = u / (jnp.linalg.norm(u) + 1e-12)
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
+    return u @ w2d @ v
+
+
+def snlinear_init(key, in_f, out_f, dtype=jnp.float32) -> Params:
+    kw, ku = jax.random.split(key)
+    return {"w": _orthogonal(kw, (in_f, out_f), dtype),
+            "b": jnp.zeros((out_f,), dtype),
+            "u": jax.random.normal(ku, (out_f,), dtype)}
+
+
+def snlinear(p: Params, x: jax.Array) -> jax.Array:
+    w2d = p["w"].T  # [out, in]
+    sigma = _sn_sigma(w2d, p["u"])
+    return x @ (p["w"] / sigma) + p["b"]
+
+
+def snconv_init(key, in_ch, out_ch, kernel, dtype=jnp.float32) -> Params:
+    kw, ku = jax.random.split(key)
+    return {"w": _orthogonal(kw, (kernel, kernel, in_ch, out_ch), dtype),
+            "b": jnp.zeros((out_ch,), dtype),
+            "u": jax.random.normal(ku, (out_ch,), dtype)}
+
+
+def snconv2d(p: Params, x: jax.Array, stride: int = 1,
+             padding="SAME") -> jax.Array:
+    w = p["w"]
+    w2d = w.reshape(-1, w.shape[-1]).T  # [out, in*k*k]
+    sigma = _sn_sigma(w2d, p["u"])
+    y = jax.lax.conv_general_dilated(
+        x, w / sigma, window_strides=(stride, stride), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + p["b"]
+
+
+# ---------------------------------------------------------------------------
+# Layers
+# ---------------------------------------------------------------------------
+
+def self_attn_init(key, in_ch, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, 4)
+    return {
+        "theta": snconv_init(ks[0], in_ch, in_ch // 8, 1, dtype),
+        "phi": snconv_init(ks[1], in_ch, in_ch // 8, 1, dtype),
+        "g": snconv_init(ks[2], in_ch, in_ch // 2, 1, dtype),
+        "attn": snconv_init(ks[3], in_ch // 2, in_ch, 1, dtype),
+        "sigma": jnp.zeros((1,), dtype),
+    }
+
+
+def _maxpool2(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+
+def self_attn(p: Params, x: jax.Array) -> jax.Array:
+    """Spatial self-attention (sagan.py:31-73). x: [B, H, W, C]."""
+    B, H, W, C = x.shape
+    theta = snconv2d(p["theta"], x).reshape(B, H * W, C // 8)
+    phi = _maxpool2(snconv2d(p["phi"], x)).reshape(B, H * W // 4, C // 8)
+    attn = jax.nn.softmax(
+        jnp.einsum("bqc,bkc->bqk", theta, phi), axis=-1)
+    g = _maxpool2(snconv2d(p["g"], x)).reshape(B, H * W // 4, C // 2)
+    attn_g = jnp.einsum("bqk,bkc->bqc", attn, g).reshape(B, H, W, C // 2)
+    attn_g = snconv2d(p["attn"], attn_g)
+    return x + p["sigma"] * attn_g
+
+
+def noise_injection_init(ch, dtype=jnp.float32) -> Params:
+    return {"weight": jnp.zeros((1, 1, 1, ch), dtype)}
+
+
+def noise_injection(p: Params, x: jax.Array, rng) -> jax.Array:
+    noise = jax.random.normal(rng, x.shape[:3] + (1,), x.dtype)
+    return x + p["weight"] * noise
+
+
+def batchnorm(x: jax.Array, scale, bias, eps: float = 1e-5) -> jax.Array:
+    mean = x.mean(axis=(0, 1, 2), keepdims=True)
+    var = x.var(axis=(0, 1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def bn_init(ch, dtype=jnp.float32) -> Params:
+    return {"scale": jnp.ones((ch,), dtype), "bias": jnp.zeros((ch,), dtype)}
+
+
+def _upsample2(x):
+    B, H, W, C = x.shape
+    return jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+
+
+def gen_ini_block_init(key, z_dim, out_ch, add_noise=True,
+                       dtype=jnp.float32) -> Params:
+    p = {"linear": snlinear_init(key, z_dim, out_ch * 4 * 4, dtype)}
+    if add_noise:
+        p["noise"] = noise_injection_init(out_ch, dtype)
+    return p
+
+
+def gen_ini_block(p: Params, z: jax.Array, rng, add_noise=True) -> jax.Array:
+    x = snlinear(p["linear"], z).reshape(z.shape[0], 4, 4, -1)
+    if add_noise:
+        x = noise_injection(p["noise"], x, rng)
+    return x
+
+
+def gen_block_init(key, in_ch, out_ch, add_noise=True,
+                   dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, 3)
+    p = {
+        "conv1": snconv_init(ks[0], in_ch, out_ch, 3, dtype),
+        "conv2": snconv_init(ks[1], out_ch, out_ch, 3, dtype),
+        "conv0": snconv_init(ks[2], in_ch, out_ch, 1, dtype),
+        "bn1": bn_init(in_ch, dtype),
+        "bn2": bn_init(out_ch, dtype),
+    }
+    if add_noise:
+        p["noise1"] = noise_injection_init(out_ch, dtype)
+        p["noise2"] = noise_injection_init(out_ch, dtype)
+    return p
+
+
+def gen_block(p: Params, x: jax.Array, rng, add_noise=True) -> jax.Array:
+    """Residual upsample block (sagan.py:103-135)."""
+    r1, r2 = jax.random.split(rng)
+    x0 = x
+    h = jax.nn.relu(batchnorm(x, p["bn1"]["scale"], p["bn1"]["bias"]))
+    h = _upsample2(h)
+    h = snconv2d(p["conv1"], h)
+    if add_noise:
+        h = noise_injection(p["noise1"], h, r1)
+    h = jax.nn.relu(batchnorm(h, p["bn2"]["scale"], p["bn2"]["bias"]))
+    h = snconv2d(p["conv2"], h)
+    if add_noise:
+        h = noise_injection(p["noise2"], h, r2)
+    x0 = snconv2d(p["conv0"], _upsample2(x0))
+    return h + x0
+
+
+class Generator:
+    """SAGAN Generator 4x4 -> image_size (sagan.py:137-210), z -> tanh image.
+
+    Supports image_size 64/128/256/512 with the reference's channel
+    schedule and attention placement after block3.
+    """
+
+    def __init__(self, latent_dim: int, conv_dim: int = 32,
+                 image_size: int = 128, out_channels: int = 3,
+                 add_noise: bool = True, attn: bool = True,
+                 dtype=jnp.float32):
+        self.latent_dim = latent_dim
+        self.conv_dim = conv_dim
+        self.image_size = image_size
+        self.out_channels = out_channels
+        self.add_noise = add_noise
+        self.attn = attn
+        self.dtype = dtype
+        cd = conv_dim
+        if image_size == 16:  # small sizes for tests/debug (not in reference)
+            self.blocks = [(cd * 16, cd * 16), (cd * 16, cd * 8)]
+            self.attn_after = 1
+            self.final_ch = cd * 8
+        elif image_size == 32:
+            self.blocks = [(cd * 16, cd * 16), (cd * 16, cd * 8),
+                           (cd * 8, cd * 4)]
+            self.attn_after = 2
+            self.final_ch = cd * 4
+        elif image_size == 64:
+            self.blocks = [(cd * 16, cd * 16), (cd * 16, cd * 8),
+                           (cd * 8, cd * 4), (cd * 4, cd * 2)]
+            self.attn_after = 2
+            self.final_ch = cd * 2
+        elif image_size == 128:
+            self.blocks = [(cd * 16, cd * 16), (cd * 16, cd * 8),
+                           (cd * 8, cd * 4), (cd * 4, cd * 2),
+                           (cd * 2, cd)]
+            self.attn_after = 2
+            self.final_ch = cd
+        else:
+            n_extra = 1 if image_size == 256 else 2
+            self.blocks = [(cd * 16, cd * 16), (cd * 16, cd * 8),
+                           (cd * 8, cd * 8), (cd * 8, cd * 4),
+                           (cd * 4, cd * 2), (cd * 2, cd)]
+            if n_extra == 2:
+                self.blocks.append((cd, cd))
+            self.attn_after = 3
+            self.final_ch = cd
+
+    def init(self, key) -> Params:
+        ks = jax.random.split(key, len(self.blocks) + 3)
+        p = {"block0": gen_ini_block_init(ks[0], self.latent_dim,
+                                          self.conv_dim * 16,
+                                          self.add_noise, self.dtype)}
+        for i, (ic, oc) in enumerate(self.blocks):
+            p[f"block{i + 1}"] = gen_block_init(ks[1 + i], ic, oc,
+                                                self.add_noise, self.dtype)
+        if self.attn:
+            attn_ch = self.blocks[self.attn_after][1]
+            p["self_attn1"] = self_attn_init(ks[-2], attn_ch, self.dtype)
+        p["bn"] = bn_init(self.final_ch, self.dtype)
+        p["toRGB"] = snconv_init(ks[-1], self.final_ch, self.out_channels,
+                                 3, self.dtype)
+        return p
+
+    def __call__(self, params: Params, z: jax.Array, rng) -> jax.Array:
+        """z [B, latent_dim] -> [B, H, W, out_channels] in (-1, 1)."""
+        rngs = jax.random.split(rng, len(self.blocks) + 1)
+        x = gen_ini_block(params["block0"], z, rngs[0], self.add_noise)
+        for i in range(len(self.blocks)):
+            x = gen_block(params[f"block{i + 1}"], x, rngs[i + 1],
+                          self.add_noise)
+            if self.attn and i == self.attn_after:
+                x = self_attn(params["self_attn1"], x)
+        x = jax.nn.relu(batchnorm(x, params["bn"]["scale"],
+                                  params["bn"]["bias"]))
+        return jnp.tanh(snconv2d(params["toRGB"], x))
+
+
+# ---------------------------------------------------------------------------
+# Discriminator (shipped for completeness; unused by CDG-VAE training, like
+# the reference's sagan.py:212-414)
+# ---------------------------------------------------------------------------
+
+class Discriminator:
+    """SAGAN discriminator: strided snconv downsampling stack + attention +
+    global-sum features -> scalar."""
+
+    def __init__(self, conv_dim: int = 32, image_size: int = 128,
+                 in_channels: int = 3, dtype=jnp.float32):
+        self.conv_dim = conv_dim
+        self.image_size = image_size
+        self.in_channels = in_channels
+        self.dtype = dtype
+        cd = conv_dim
+        # downsample to 4x4
+        chans = [in_channels, cd, cd * 2, cd * 4, cd * 8, cd * 16]
+        n_down = {64: 4, 128: 5, 256: 6}[image_size]
+        while len(chans) - 1 < n_down:
+            chans.append(cd * 16)
+        self.chans = chans[: n_down + 1]
+
+    def init(self, key) -> Params:
+        ks = jax.random.split(key, len(self.chans) + 1)
+        p = {}
+        for i in range(len(self.chans) - 1):
+            p[f"conv{i}"] = snconv_init(ks[i], self.chans[i],
+                                        self.chans[i + 1], 4, self.dtype)
+        p["attn"] = self_attn_init(ks[-2], self.chans[2], self.dtype)
+        p["fc"] = snlinear_init(ks[-1], self.chans[-1], 1, self.dtype)
+        return p
+
+    def __call__(self, params: Params, x: jax.Array) -> jax.Array:
+        for i in range(len(self.chans) - 1):
+            x = jax.nn.leaky_relu(
+                snconv2d(params[f"conv{i}"], x, stride=2), 0.1)
+            if i == 1:
+                x = self_attn(params["attn"], x)
+        feat = x.sum(axis=(1, 2))
+        return snlinear(params["fc"], feat)

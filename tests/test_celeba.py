@@ -1,0 +1,116 @@
+"""CelebA family tests: SAGAN blocks, ResNet encoder, dual-latent model,
+train step. Small sizes (32-64px) to stay CPU-friendly."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from cdgvae_tpu.models import sagan
+from cdgvae_tpu.models.resnet import ResNetEncoder
+from cdgvae_tpu.models.celeba import (CelebACDGVAE, celeba_B, SMILE_NODES,
+                                      BLOCK_GROUPS)
+from cdgvae_tpu.ops.causal import CausalGraph, is_dag
+from cdgvae_tpu.data.celeba import CelebADataset, synthetic_celeba
+from cdgvae_tpu.train.celeba_steps import make_celeba_step
+
+
+def test_spectral_norm_bounds_singular_value():
+    p = sagan.snlinear_init(jax.random.key(0), 16, 8)
+    p = dict(p, w=p["w"] * 50.0)  # blow up the weight
+    x = jax.random.normal(jax.random.key(1), (4, 16))
+    y = sagan.snlinear(p, x)
+    # normalized weight has spectral norm ~1 => output norm bounded
+    w_eff = p["w"] / sagan._sn_sigma(p["w"].T, p["u"])
+    s = np.linalg.svd(np.asarray(w_eff), compute_uv=False)[0]
+    assert 0.9 < s < 1.5
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_self_attn_shape_and_identity_at_init():
+    p = sagan.self_attn_init(jax.random.key(0), 32)
+    x = jax.random.normal(jax.random.key(1), (2, 8, 8, 32))
+    y = sagan.self_attn(p, x)
+    assert y.shape == x.shape
+    # sigma starts at 0 => exact identity (sagan.py:42, :72)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_generator_output():
+    gen = sagan.Generator(latent_dim=2, conv_dim=8, image_size=64)
+    p = gen.init(jax.random.key(0))
+    z = jax.random.normal(jax.random.key(1), (2, 2))
+    img = gen(p, z, jax.random.key(2))
+    assert img.shape == (2, 64, 64, 3)
+    x = np.asarray(img)
+    assert x.min() >= -1.0 and x.max() <= 1.0
+
+
+def test_resnet_encoder_freeze_trunk():
+    enc = ResNetEncoder(out_dim=24, freeze_trunk=True)
+    p = enc.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (2, 64, 64, 3))
+    out = enc(p, x)
+    assert out.shape == (2, 24)
+
+    def loss(p):
+        return (enc(p, x) ** 2).sum()
+
+    g = jax.grad(loss)(p)
+    # trunk grads are zero; fc grads are not
+    assert float(jnp.abs(g["stem_conv"]["w"]).max()) == 0.0
+    assert float(jnp.abs(g["fc"]["w"]).max()) > 0.0
+
+
+def test_celeba_model_and_step():
+    B = celeba_B(SMILE_NODES, 0)
+    assert is_dag(B)
+    graph = CausalGraph(B, scm="linear")
+    model = CelebACDGVAE(graph, latent_dim=6, image_size=32, conv_dim=4)
+    params = model.init(jax.random.key(0))
+
+    x, y = synthetic_celeba(n=4, img_size=32, seed=0)
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    out = model(params, x, rng=jax.random.key(1))
+    assert out.xhat.shape == (4, 32, 32, 3)
+    assert out.latent.shape == (4, 6)
+    assert out.epsilon2.shape == (4, 6)
+    assert len(out.xhat_separated) == 5
+
+    opt = optax.adam(1e-3)
+    step = make_celeba_step(model, opt, beta=0.1, lam=5.0)
+    state = (params, opt.init(params))
+    for i in range(2):
+        *state, m = step(*state, x, y, jax.random.key(i))
+    assert np.isfinite(m["loss"])
+    assert {"loss", "recon", "KL", "alignment", "active"} == set(m)
+
+
+def test_masked_gam_blocks_respect_masks():
+    """A decoder block's contribution is zeroed outside its mask channel."""
+    B = celeba_B(SMILE_NODES, 0)
+    graph = CausalGraph(B, scm="linear")
+    model = CelebACDGVAE(graph, latent_dim=6, image_size=32, conv_dim=4)
+    params = model.init(jax.random.key(0))
+    latent = jax.random.normal(jax.random.key(1), (2, 6))
+    eps2 = jax.random.normal(jax.random.key(2), (2, 6))
+    masks = jnp.zeros((2, 32, 32, 5)).at[..., 0].set(1.0)
+    seps, xhat = model.decode(params, latent, eps2, masks,
+                              jax.random.key(3))
+    expect = jnp.tanh(seps[0])  # only block 0 passes its mask
+    np.testing.assert_allclose(np.asarray(xhat), np.asarray(expect),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_celeba_dataset_synthetic_fallback():
+    ds = CelebADataset(data_dir="/nonexistent", train=True, img_size=32,
+                       synthetic_n=6)
+    assert ds.x_data.shape == (6, 32, 32, 8)
+    assert ds.y_data.shape == (6, 6)
+    assert ds.nodes == SMILE_NODES
+    assert set(np.unique(ds.x_data[..., 3:])) <= {0.0, 1.0}
+
+
+def test_block_groups_wiring():
+    # smile structure: [smile,cheek],[smile,mouth],[smile,chubby],
+    # [smile,male,eyes] (celeba/module/model.py:189-195)
+    assert BLOCK_GROUPS == ([0, 2], [0, 3], [0, 4], [0, 1, 5])
