@@ -2,11 +2,13 @@
 
 The reference saves only a final ``state_dict`` with the config riding along
 as wandb artifact metadata (reference main.py:233-240, inference.py:71-76).
-Here checkpoints are orbax-backed (async-capable, TPU-native sharded arrays
-supported) and the config is embedded IN the checkpoint so eval scripts can
-rebuild the exact model from the file alone — preserving the reference's
-"config travels with the checkpoint" contract without the wandb dependency.
-Falls back to a plain pickle if orbax is unavailable.
+Here checkpoints carry params + optimizer state + step AND the config is
+embedded IN the checkpoint directory, so eval scripts can rebuild the exact
+model from the file alone — preserving the reference's "config travels with
+the checkpoint" contract (wandb artifact metadata) without the wandb
+dependency. Storage is a host-side pickle + config.json: these models are
+KB-to-MB scale, where sharded/async checkpointing (orbax) would be overhead
+with no benefit.
 """
 from __future__ import annotations
 
