@@ -7,6 +7,11 @@ import ast
 import jax
 
 from ..parallel.mesh import make_mesh
+from ..utils.cache import enable_compilation_cache as _enable_cache
+
+# every CLI entry benefits from the persistent XLA compile cache (cold
+# compiles on this backend run 30-450s)
+_enable_cache()
 
 
 def arg_as_list(s: str):
