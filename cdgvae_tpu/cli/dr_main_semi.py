@@ -1,0 +1,95 @@
+"""Semi-supervised DR training (reference DR/main_semi.py): ELBO on the
+unlabeled DR stream + alignment on a labeled_ratio subset, with the spurious
+background latent wired into every decoder block."""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import jax
+import optax
+
+from ..data.pendulum_dr import PendulumDRDataset
+from ..factory import build_pendulum_model
+from ..train.steps import make_semi_step
+from ..train.loop import train_epoch_semi, format_epoch
+from ..utils.simulation import set_random_seed
+from ..utils.checkpoint import save_checkpoint
+from ..utils.logging import MetricLogger
+from .common import arg_as_list, add_infra_args
+
+
+def get_args(debug: bool = False, argv=None):
+    parser = argparse.ArgumentParser("parameters")
+    parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument("--model", type=str, default="CDGVAEsemi")
+    parser.add_argument("--node", default=5, type=int)
+    parser.add_argument("--scm", default="nonlinear", type=str)
+    parser.add_argument("--flow_num", default=1, type=int)
+    parser.add_argument("--inverse_loop", default=100, type=int)
+    parser.add_argument("--factor", default=[1, 1, 2], type=arg_as_list)
+    parser.add_argument("--labeled_ratio", default=0.1, type=float)
+    parser.add_argument("--label_normalization", default=True, type=bool)
+    parser.add_argument("--adjacency_scaling", default=True, type=bool)
+    parser.add_argument("--image_size", default=64, type=int)
+    parser.add_argument("--epochs", default=100, type=int)
+    parser.add_argument("--batch_size", default=128, type=int)
+    parser.add_argument("--batch_sizeL", default=32, type=int)
+    parser.add_argument("--lr", default=0.001, type=float)
+    parser.add_argument("--beta", default=0.1, type=float)
+    parser.add_argument("--lambda", default=20, type=float)
+    add_infra_args(parser)
+    if debug:
+        return parser.parse_args(args=[])
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    config = vars(get_args(argv=argv))
+    set_random_seed(config["seed"])
+    logger = MetricLogger(logdir=config["assets_dir"],
+                          use_wandb=config["wandb"],
+                          tags=["VAEBased", "DR", "semi"], config=config)
+
+    labeled = PendulumDRDataset(
+        image_size=config["image_size"], train=True,
+        labeled_ratio=config["labeled_ratio"],
+        label_normalization=config["label_normalization"],
+        seed=config["seed"])
+    unlabeled = PendulumDRDataset(
+        image_size=config["image_size"], train=True, seed=config["seed"])
+
+    x_u = jax.device_put(unlabeled.x_data)
+    x_l = jax.device_put(labeled.x_data)
+    y_l = jax.device_put(labeled.y_data)
+
+    model, _ = build_pendulum_model(config, spurious=True)
+    key = jax.random.key(config["seed"])
+    k_model, k_train = jax.random.split(key)
+    params = model.init(k_model)
+    optimizer = optax.adam(config["lr"])
+    state = (params, optimizer.init(params))
+    step = make_semi_step(model, optimizer, config["beta"],
+                          config["lambda"])
+
+    shuffle_rng = np.random.default_rng(config["seed"])
+    os.makedirs(config["assets_dir"], exist_ok=True)
+    for epoch in range(config["epochs"]):
+        state, metrics = train_epoch_semi(
+            step, state, x_u, x_l, y_l, config["batch_size"],
+            config["batch_sizeL"], k_train, epoch, shuffle_rng)
+        print(format_epoch(epoch, metrics))
+        logger.log(metrics, step=epoch)
+
+    ckpt = os.path.join(config["assets_dir"],
+                        f"model_DR_{config['model']}_{config['scm']}")
+    save_checkpoint(ckpt, state[0], opt_state=state[1],
+                    step=config["epochs"], config=config)
+    print(f"checkpoint saved to {ckpt}")
+    logger.finish()
+    return state
+
+
+if __name__ == "__main__":
+    main()

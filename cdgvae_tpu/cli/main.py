@@ -69,6 +69,11 @@ def get_args(debug: bool = False, argv=None):
     return parser.parse_args(argv)
 
 
+def _viz_forward(model, params, x_data, batch_size, rng):
+    n = min(batch_size, len(x_data))
+    return model(params, x_data[:n], rng=rng)
+
+
 def main(argv=None):
     config = vars(get_args(argv=argv))
     set_random_seed(config["seed"])
@@ -117,13 +122,16 @@ def main(argv=None):
         logger.log(metrics, step=epoch)
 
         if epoch % 10 == 0:
-            out = model(state[0], x_data[:9], deterministic=False,
-                        rng=jax.random.fold_in(k_train, -1))
-            viz_recon_grid(np.asarray(out.xhat),
+            # forward on a training-batch-sized slice: reuses the same
+            # compiled shape every time (cold compiles are minutes here)
+            out = _viz_forward(model, state[0], x_data,
+                               config["batch_size"],
+                               jax.random.fold_in(k_train, -1))
+            viz_recon_grid(np.asarray(out.xhat[:9]),
                            f"{config['assets_dir']}/tmp_image_{epoch}.png")
 
-    out = model(state[0], x_data[:9],
-                rng=jax.random.fold_in(k_train, -1))
+    out = _viz_forward(model, state[0], x_data, config["batch_size"],
+                       jax.random.fold_in(k_train, -1))
     viz_recon_grid(np.asarray(out.xhat), f"{config['assets_dir']}/recon.png")
     logger.log_image("reconstruction", f"{config['assets_dir']}/recon.png")
 

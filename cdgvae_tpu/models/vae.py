@@ -155,6 +155,37 @@ class CDGVAE:
         self._gather = jnp.asarray(gather)
         self._valid = jnp.asarray(valid, dtype=dtype)
 
+        # Band-sliced fast decode: when the masks are an exact row-band
+        # partition (they are for the pendulum family, main.py:167-179),
+        # block k's contribution outside its band is multiplied by zero — the
+        # reference still COMPUTES those outputs (2/3 of final-layer decoder
+        # FLOPs are dead). We detect the bands and, on the training path,
+        # matmul only each block's live output columns. Masked-out outputs
+        # receive zero gradient in both designs, so training is identical.
+        self._bands = self._detect_row_bands(np.asarray(masks))
+
+    @staticmethod
+    def _detect_row_bands(masks: np.ndarray):
+        """Returns per-block flat (start, end) output ranges if masks are a
+        contiguous, ordered, exact row partition; else None."""
+        k, H, W, C = masks.shape
+        expect_start = 0
+        bands = []
+        for i in range(k):
+            rows = np.where(masks[i].reshape(H, -1).any(axis=1))[0]
+            if len(rows) == 0:
+                return None
+            r0, r1 = rows.min(), rows.max() + 1
+            band = np.zeros_like(masks[i])
+            band[r0:r1] = 1.0
+            if not np.array_equal(band, masks[i]) or r0 != expect_start:
+                return None
+            expect_start = r1
+            bands.append((int(r0 * W * C), int(r1 * W * C)))
+        if expect_start != H:
+            return None
+        return bands
+
     def init(self, key: jax.Array) -> dict:
         k1, k2, k3 = jax.random.split(key, 3)
         in_dim = 3 * self.image_size * self.image_size
@@ -184,27 +215,59 @@ class CDGVAE:
             params["causal"], epsilon)
         return mean, logvar, epsilon, orig_latent, latent, logdet
 
+    def _decoder_hidden(self, params, latent):
+        """[batch, node] -> [K, batch, hidden]: all layers but the last of
+        the K decoders as one stacked batched matmul."""
+        blocks = latent[:, self._gather]            # [batch, K, kmax]
+        blocks = blocks * self._valid               # zero padded positions
+        blocks = jnp.transpose(blocks, (1, 0, 2))   # [K, batch, kmax]
+        n = len(params["decoder"])
+        h = blocks
+        for i in range(n - 1):
+            h = nn.stacked_dense(params["decoder"][f"layer{i}"], h)
+            h = jax.nn.elu(h)
+        return h
+
     def decode(self, params, latent):
         """latent [batch, node] -> (xhat_separated [K,batch,out], xhat image).
 
         One stacked-MLP evaluation of all K GAM decoders; per-block spatial
         masking + sum + tanh (reference modules/model.py:281-288).
         """
-        # [batch, node] -> [K, batch, kmax], zero-padded per block
-        blocks = latent[:, self._gather]            # [batch, K, kmax]
-        blocks = blocks * self._valid               # zero padded positions
-        blocks = jnp.transpose(blocks, (1, 0, 2))   # [K, batch, kmax]
-        xhat_sep = nn.stacked_mlp(params["decoder"], blocks)  # [K,batch,out]
+        h = self._decoder_hidden(params, latent)
+        last = params["decoder"][f"layer{len(params['decoder']) - 1}"]
+        xhat_sep = nn.stacked_dense(last, h)        # [K, batch, out]
         imgs = xhat_sep.reshape(self.K, -1, self.image_size, self.image_size,
                                 3)
         masked = imgs * self.masks[:, None]         # [K,batch,H,W,3]
         xhat = jnp.tanh(jnp.sum(masked, axis=0))
         return xhat_sep, xhat
 
-    def __call__(self, params, x, rng=None, deterministic=False) -> VAEOutput:
+    def decode_fast(self, params, latent):
+        """Band-sliced decode: identical xhat to :meth:`decode` but each
+        block's final matmul only computes its live output band (the masks
+        partition rows, so the masked sum is a concatenation). Falls back to
+        the masked path when the masks are not a row partition."""
+        if self._bands is None:
+            return self.decode(params, latent)[1]
+        h = self._decoder_hidden(params, latent)    # [K, batch, hidden]
+        last = params["decoder"][f"layer{len(params['decoder']) - 1}"]
+        pieces = []
+        for k, (c0, c1) in enumerate(self._bands):
+            pieces.append(h[k] @ last["w"][k][:, c0:c1]
+                          + last["b"][k, 0, c0:c1])
+        xhat = jnp.concatenate(pieces, axis=1)
+        return jnp.tanh(xhat.reshape(-1, self.image_size, self.image_size,
+                                     3))
+
+    def __call__(self, params, x, rng=None, deterministic=False,
+                 fast: bool = False) -> VAEOutput:
         mean, logvar, epsilon, orig_latent, latent, logdet = self.encode(
             params, x, rng, deterministic)
-        xhat_separated, xhat = self.decode(params, latent)
+        if fast:
+            xhat_separated, xhat = None, self.decode_fast(params, latent)
+        else:
+            xhat_separated, xhat = self.decode(params, latent)
         _, align_latent, _ = self.graph.transform(params["causal"], mean)
         return VAEOutput(mean, logvar, epsilon, orig_latent, latent, logdet,
                          align_latent, xhat_separated, xhat)

@@ -68,12 +68,12 @@ def unjitted_step(model, optimizer, beta: float, lam: float) -> Callable:
     as train.steps.make_train_step."""
     import optax
     from ..ops import losses
-    from .steps import _metrics
+    from .steps import _metrics, _forward
 
     node = model.node
 
     def loss_fn(params, x, y, rng):
-        out = model(params, x, rng)
+        out = _forward(model, params, x, rng)
         recon = losses.gaussian_recon(out.xhat, x)
         kl = losses.kl_std_normal(out.mean, out.logvar)
         align = losses.alignment_bce(out.align_latent, y[:, :node])

@@ -25,6 +25,14 @@ from ..ops import losses
 from ..parallel.mesh import batch_sharding, replicated_sharding
 
 
+def _forward(model, params, x, rng):
+    """Use the model's fast (band-sliced) decode path when it has one."""
+    try:
+        return model(params, x, rng, fast=True)
+    except TypeError:
+        return model(params, x, rng)
+
+
 def _metrics(loss, recon, kl, align, logvar, node, extra=None):
     m = {"loss": loss, "recon": recon, "KL": kl, "alignment": align}
     if extra:
@@ -47,7 +55,7 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
     node = model.node
 
     def loss_fn(params, x, y, rng):
-        out = model(params, x, rng)
+        out = _forward(model, params, x, rng)
         recon = losses.gaussian_recon(out.xhat, x)
         kl = losses.kl_std_normal(out.mean, out.logvar)
         align = losses.alignment_bce(out.align_latent, y[:, :node])
@@ -123,7 +131,7 @@ def make_semi_step(model, optimizer: optax.GradientTransformation,
     node = model.node
 
     def loss_fn(params, x_u, x_l, y_l, rng):
-        out = model(params, x_u, rng)
+        out = _forward(model, params, x_u, rng)
         recon = losses.gaussian_recon(out.xhat, x_u)
         kl = losses.kl_std_normal(out.mean, out.logvar)
         # supervised branch: deterministic encode of the labeled batch

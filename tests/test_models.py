@@ -82,6 +82,26 @@ def test_stacked_gam_decoder_equals_per_block_mlps():
                                atol=1e-5)
 
 
+def test_decode_fast_matches_masked_decode():
+    """Band-sliced decode must equal the reference-style masked sum decode
+    exactly, for both the plain and DR (spurious) wirings."""
+    for spurious, node in [(False, 4), (True, 5)]:
+        cfg = dict(CFG, node=node)
+        model, _ = build_pendulum_model(cfg, spurious=spurious)
+        assert model._bands is not None
+        params = model.init(jax.random.key(0))
+        latent = jax.random.normal(jax.random.key(1), (6, node))
+        _, xhat = model.decode(params, latent)
+        xhat_fast = model.decode_fast(params, latent)
+        np.testing.assert_allclose(np.asarray(xhat_fast), np.asarray(xhat),
+                                   rtol=1e-5, atol=1e-6)
+
+        out_fast = model(params, jnp.tanh(jax.random.normal(
+            jax.random.key(2), (4, 64, 64, 3))), rng=jax.random.key(3),
+            fast=True)
+        assert out_fast.xhat_separated is None
+
+
 def test_masks_partition_image():
     masks = pendulum_masks(64)
     np.testing.assert_array_equal(masks.sum(axis=0), np.ones((64, 64, 3)))
