@@ -23,7 +23,7 @@ from .common import add_infra_args, resolve_mesh
 def get_args(debug: bool = False, argv=None):
     parser = argparse.ArgumentParser("parameters")
     # parity with reference tabular/main.py:60-101
-    parser.add_argument("--seed", type=int, default=2)
+    parser.add_argument("--seed", type=int, default=1)
     parser.add_argument("--model", type=str, default="CDGVAE",
                         help="VAE, InfoMax, CDGVAE")
     parser.add_argument("--dataset", type=str, default="loan",

@@ -26,7 +26,7 @@ TRANSFORMER_RANDOM_STATE = {"loan": 8, "adult": 0, "covtype": 0}
 def get_args(debug: bool = False, argv=None):
     parser = argparse.ArgumentParser("parameters")
     # parity with reference tabular/main_tvae.py:58-102
-    parser.add_argument("--seed", type=int, default=2)
+    parser.add_argument("--seed", type=int, default=1)
     parser.add_argument("--model", type=str, default="TVAE")
     parser.add_argument("--dataset", type=str, default="loan",
                         help="loan, adult, covtype")

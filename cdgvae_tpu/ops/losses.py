@@ -35,6 +35,8 @@ def l1_recon(xhat: jax.Array, x: jax.Array) -> jax.Array:
 
 def kl_std_normal(mean: jax.Array, logvar: jax.Array) -> jax.Array:
     """0.5 * Σ_j (mean² - logvar + e^logvar - 1), batch mean."""
+    mean = mean.astype(jnp.float32)
+    logvar = logvar.astype(jnp.float32)
     kl = jnp.sum(mean ** 2 - logvar + jnp.exp(logvar) - 1.0, axis=1)
     return 0.5 * kl.mean()
 
@@ -46,7 +48,7 @@ def alignment_bce(align_latent: jax.Array, labels: jax.Array,
     Computed in the numerically stable logits form (equivalent to the
     reference's sigmoid-then-binary_cross_entropy with clamped probs).
     """
-    z = align_latent
+    z = align_latent.astype(jnp.float32)
     y = labels.astype(z.dtype)
     # stable BCE-with-logits: max(z,0) - z*y + log(1+exp(-|z|))
     bce = jnp.maximum(z, 0.0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))

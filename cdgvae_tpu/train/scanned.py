@@ -63,7 +63,8 @@ def make_scanned_epochs(step_fn: Callable, batch_size: int,
     return run
 
 
-def unjitted_step(model, optimizer, beta: float, lam: float) -> Callable:
+def unjitted_step(model, optimizer, beta: float, lam: float,
+                  compute_dtype=None) -> Callable:
     """The raw (unjitted) supervised step for use inside scans — same math
     as train.steps.make_train_step."""
     import optax
@@ -73,7 +74,7 @@ def unjitted_step(model, optimizer, beta: float, lam: float) -> Callable:
     node = model.node
 
     def loss_fn(params, x, y, rng):
-        out = _forward(model, params, x, rng)
+        out = _forward(model, params, x, rng, compute_dtype)
         recon = losses.gaussian_recon(out.xhat, x)
         kl = losses.kl_std_normal(out.mean, out.logvar)
         align = losses.alignment_bce(out.align_latent, y[:, :node])

@@ -25,8 +25,15 @@ from ..ops import losses
 from ..parallel.mesh import batch_sharding, replicated_sharding
 
 
-def _forward(model, params, x, rng):
-    """Use the model's fast (band-sliced) decode path when it has one."""
+def _forward(model, params, x, rng, compute_dtype=None):
+    """Use the model's fast (band-sliced) decode path when it has one;
+    optionally run the network in a lower compute dtype (params stay f32 in
+    the optimizer — classic mixed precision; losses upcast to f32)."""
+    if compute_dtype is not None:
+        params = jax.tree.map(
+            lambda p: p.astype(compute_dtype)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
+        x = x.astype(compute_dtype)
     try:
         return model(params, x, rng, fast=True)
     except TypeError:
@@ -45,7 +52,7 @@ def _metrics(loss, recon, kl, align, logvar, node, extra=None):
 
 def make_train_step(model, optimizer: optax.GradientTransformation,
                     beta: float, lam: float, mesh=None,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True, compute_dtype=None) -> Callable:
     """Supervised VAE/CDG-VAE step (reference train_VAE / train_CDGVAE,
     modules/train.py:10-69, :150-209).
 
@@ -55,7 +62,7 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
     node = model.node
 
     def loss_fn(params, x, y, rng):
-        out = _forward(model, params, x, rng)
+        out = _forward(model, params, x, rng, compute_dtype)
         recon = losses.gaussian_recon(out.xhat, x)
         kl = losses.kl_std_normal(out.mean, out.logvar)
         align = losses.alignment_bce(out.align_latent, y[:, :node])

@@ -114,6 +114,25 @@ def test_dp_sharded_step_matches_single_device(n_dev):
                                    atol=1e-5)
 
 
+def test_bf16_compute_step():
+    """Mixed precision: bf16 network compute, f32 params/optimizer/losses."""
+    model, _ = build_pendulum_model(CFG)
+    params = model.init(jax.random.key(0))
+    opt = optax.adam(1e-3)
+    step = make_train_step(model, opt, beta=0.1, lam=5.0,
+                           compute_dtype=jnp.bfloat16)
+    x, y = _data()
+    state = (params, opt.init(params))
+    losses = []
+    for i in range(10):
+        *state, m = step(*state, x, y, jax.random.key(i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # params stay f32
+    assert state[0]["encoder"]["layer0"]["w"].dtype == jnp.float32
+
+
 def test_averager_single_sync():
     avg = Averager()
     for i in range(3):
