@@ -40,14 +40,19 @@ def synthetic_targets(labels: np.ndarray, rng: np.random.Generator):
 def train_downstream(reps: np.ndarray, targets: np.ndarray, key,
                      epochs: int = 100, batch_size: int = 32,
                      lr: float = 0.005, shuffle_rng=None):
-    """Train the node->2->1 downstream classifier; returns (clf, params)."""
+    """Train the node->2->1 downstream classifier; returns (clf, params).
+
+    The whole training (epochs × minibatches of shuffled Adam steps, the
+    reference's eager loops in sample_efficiency.py:310-360 and
+    DR/robustness.py:211-250) runs as ONE scan-compiled device program —
+    the remainder batch is dropped to keep shapes static."""
     clf = DownstreamClassifier(reps.shape[1])
     params = clf.init(key)
     opt = optax.adam(lr)
-    opt_state = opt.init(params)
-    shuffle_rng = shuffle_rng or np.random.default_rng(0)
+    n = len(reps)
+    steps = max(n // batch_size, 1)
+    bs = min(batch_size, n)
 
-    @jax.jit
     def step(params, opt_state, x, y):
         def loss_fn(p):
             pred = jnp.clip(clf(p, x), 1e-7, 1 - 1e-7)
@@ -58,14 +63,31 @@ def train_downstream(reps: np.ndarray, targets: np.ndarray, key,
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    x_dev, y_dev = jnp.asarray(reps), jnp.asarray(targets)
-    n = len(reps)
-    for _ in range(epochs):
-        perm = shuffle_rng.permutation(n)
-        for i in range(0, n, batch_size):
-            idx = perm[i: i + batch_size]
-            params, opt_state, _ = step(params, opt_state, x_dev[idx],
-                                        y_dev[idx])
+    @jax.jit
+    def run(params, opt_state, x, y, rng):
+        def epoch_body(carry, e):
+            params, opt_state = carry
+            perm = jax.random.permutation(jax.random.fold_in(rng, e),
+                                          n)[: steps * bs]
+            xb = x[perm].reshape(steps, bs, -1)
+            yb = y[perm].reshape(steps, bs, -1)
+
+            def step_body(carry, inp):
+                params, opt_state = carry
+                params, opt_state, loss = step(params, opt_state, *inp)
+                return (params, opt_state), loss
+
+            carry, losses = jax.lax.scan(step_body, (params, opt_state),
+                                         (xb, yb))
+            return carry, losses.mean()
+
+        (params, opt_state), _ = jax.lax.scan(
+            epoch_body, (params, opt_state), jnp.arange(epochs))
+        return params
+
+    rng = jax.random.fold_in(key, 1)
+    params = run(params, opt.init(params), jnp.asarray(reps),
+                 jnp.asarray(targets), rng)
     return clf, params
 
 
