@@ -45,8 +45,10 @@ def main(argv=None):
     os.makedirs(args.assets_dir, exist_ok=True)
     results = {}
 
-    # PC on real train data (inference.py:184-190)
-    G_real, _ = pc(train.frame.to_numpy(), alpha=0.05)
+    # PC on real train data (inference.py:184-190); reference uses chisq for
+    # loan/adult and fisherz for covtype (inference.py:111-125)
+    i_test = "fisherz" if dataset_name == "covtype" else "chisq"
+    G_real, _ = pc(train.frame.to_numpy(), alpha=0.05, indep_test=i_test)
 
     # reconstructions
     recon = reconstruct_dataset(model, params, x_data, dataset_name,

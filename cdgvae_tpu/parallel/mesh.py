@@ -22,6 +22,12 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     """1-D data-parallel mesh over the first ``n_devices`` devices."""
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devs)} devices are visible; for CPU testing set "
+                "JAX_PLATFORMS=cpu and XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={n_devices}")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 

@@ -34,17 +34,62 @@ def fisher_z_pvalue(corr: np.ndarray, n: int, i: int, j: int,
     return 2.0 * (1.0 - norm.cdf(stat))
 
 
-def pc(data: np.ndarray, alpha: float = 0.05, max_cond: int | None = None):
-    """PC-stable on continuous data. Returns (graph, sepsets) where graph is
-    the CPDAG in causallearn encoding."""
+def chisq_pvalue(data: np.ndarray, i: int, j: int, cond: tuple) -> float:
+    """Chi-square test of independence of columns i, j given cond, by
+    stratifying on the conditioning columns' value combinations (the
+    'chisq' option the reference uses for the loan/adult real-data CPDAG,
+    tabular/inference.py:111-117). Columns are treated as categorical."""
+    from scipy.stats import chi2
+
+    if cond:
+        _, strata = np.unique(data[:, list(cond)], axis=0,
+                              return_inverse=True)
+    else:
+        strata = np.zeros(len(data), dtype=int)
+    stat, dof = 0.0, 0
+    for s in np.unique(strata):
+        sub = data[strata == s]
+        xi, xj = sub[:, i], sub[:, j]
+        ri, ci = np.unique(xi, return_inverse=True)
+        rj, cj = np.unique(xj, return_inverse=True)
+        if len(ri) < 2 or len(rj) < 2:
+            continue
+        table = np.zeros((len(ri), len(rj)))
+        np.add.at(table, (ci, cj), 1.0)
+        rows = table.sum(1, keepdims=True)
+        cols = table.sum(0, keepdims=True)
+        expect = rows * cols / table.sum()
+        mask = expect > 0
+        stat += float(((table - expect) ** 2 / np.where(mask, expect, 1.0)
+                       )[mask].sum())
+        dof += (len(ri) - 1) * (len(rj) - 1)
+    if dof == 0:
+        return 1.0
+    return float(1.0 - chi2.cdf(stat, dof))
+
+
+def pc(data: np.ndarray, alpha: float = 0.05, max_cond: int | None = None,
+       indep_test: str = "fisherz"):
+    """PC-stable. ``indep_test``: 'fisherz' (continuous, partial
+    correlation) or 'chisq' (categorical). Returns (graph, sepsets) where
+    graph is the CPDAG in causallearn encoding."""
     data = np.asarray(data, dtype=np.float64)
     n, d = data.shape
     # guard constant columns
     std = data.std(axis=0)
-    data = (data - data.mean(axis=0)) / np.where(std == 0, 1.0, std)
-    corr = np.corrcoef(data, rowvar=False)
+    zdata = (data - data.mean(axis=0)) / np.where(std == 0, 1.0, std)
+    corr = np.corrcoef(zdata, rowvar=False)
     corr = np.nan_to_num(corr, nan=0.0)
     np.fill_diagonal(corr, 1.0)
+
+    if indep_test == "fisherz":
+        def ci_pvalue(i, j, cond):
+            return fisher_z_pvalue(corr, n, i, j, cond)
+    elif indep_test == "chisq":
+        def ci_pvalue(i, j, cond):
+            return chisq_pvalue(data, i, j, cond)
+    else:
+        raise ValueError(f"unknown indep_test {indep_test}")
 
     adj = np.ones((d, d), dtype=bool)
     np.fill_diagonal(adj, False)
@@ -65,7 +110,7 @@ def pc(data: np.ndarray, alpha: float = 0.05, max_cond: int | None = None):
                     continue
                 for cond in combinations(neighbors, level):
                     any_tested = True
-                    if fisher_z_pvalue(corr, n, i, j, cond) > alpha:
+                    if ci_pvalue(i, j, cond) > alpha:
                         adj[i, j] = adj[j, i] = False
                         sepset[(i, j)] = sepset[(j, i)] = set(cond)
                         break

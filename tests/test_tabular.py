@@ -207,3 +207,16 @@ def test_ml_efficacy_smoke():
     res = classification_eval(df[["a", "b", "c"]].iloc[:150],
                               df[["a", "b", "c"]].iloc[150:], "c")
     assert all(f1 > 0.8 for _, f1 in res)
+
+
+def test_pc_chisq_recovers_discrete_v_structure():
+    rng = np.random.default_rng(2)
+    n = 4000
+    x = rng.integers(0, 3, n)
+    z = rng.integers(0, 3, n)
+    noise = rng.integers(0, 2, n)
+    y = np.clip(x + z + noise, 0, 4)  # discrete additive collider
+    G, _ = pc(np.stack([x, y, z], 1).astype(float), alpha=0.05,
+              indep_test="chisq")
+    assert G[0, 2] == 0 and G[2, 0] == 0  # x indep z marginally
+    assert G[0, 1] != 0 and G[2, 1] != 0
