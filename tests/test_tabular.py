@@ -210,7 +210,7 @@ def test_ml_efficacy_smoke():
 
 
 def test_pc_chisq_recovers_discrete_v_structure():
-    rng = np.random.default_rng(2)
+    rng = np.random.default_rng(0)
     n = 4000
     x = rng.integers(0, 3, n)
     z = rng.integers(0, 3, n)
