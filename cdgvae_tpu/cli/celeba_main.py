@@ -101,7 +101,7 @@ def main(argv=None):
         if epoch % 10 == 0:
             n = min(9, len(x_data))
             out = model(state[0], x_data[:n],
-                        rng=jax.random.fold_in(k_train, -1))
+                        rng=jax.random.fold_in(k_train, 2**31))
             viz_recon_grid(np.asarray(out.xhat),
                            f"{config['assets_dir']}/tmp_image_{epoch}.png",
                            n=n)

@@ -33,6 +33,9 @@ def add_infra_args(parser: argparse.ArgumentParser):
                         help="number of devices for the data-parallel mesh "
                              "(0 = all local devices if batch divides evenly,"
                              " else single device)")
+    parser.add_argument("--n_samples", default=10000, type=int,
+                        help="DGP sample count for the synthetic datasets "
+                             "(10000 = reference; smaller for smoke tests)")
     return parser
 
 

@@ -58,7 +58,7 @@ def main(argv=None):
         image_size=config["image_size"], train=True,
         labeled_ratio=config["labeled_ratio"],
         label_normalization=config["label_normalization"],
-        seed=config["seed"])
+        seed=config["seed"], n=config["n_samples"])
     x_data = jax.device_put(dataset.x_data)
     y_data = jax.device_put(dataset.y_data)
 
@@ -93,7 +93,7 @@ def main(argv=None):
         logger.log(metrics, step=epoch)
         if epoch % 10 == 0:
             out = model(state[0], x_data[:9],
-                        rng=jax.random.fold_in(k_train, -1))
+                        rng=jax.random.fold_in(k_train, 2**31))
             viz_recon_grid(np.asarray(out.xhat),
                            f"{config['assets_dir']}/tmp_image_{epoch}.png")
 

@@ -56,9 +56,10 @@ def main(argv=None):
         image_size=config["image_size"], train=True,
         labeled_ratio=config["labeled_ratio"],
         label_normalization=config["label_normalization"],
-        seed=config["seed"])
+        seed=config["seed"], n=config["n_samples"])
     unlabeled = PendulumDRDataset(
-        image_size=config["image_size"], train=True, seed=config["seed"])
+        image_size=config["image_size"], train=True, seed=config["seed"],
+        n=config["n_samples"])
 
     x_u = jax.device_put(unlabeled.x_data)
     x_l = jax.device_put(labeled.x_data)

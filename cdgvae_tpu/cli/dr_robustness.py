@@ -40,10 +40,12 @@ def main(argv=None):
 
     train_ds = PendulumDRDataset(image_size=config["image_size"],
                                  train=True, downstream=True,
-                                 seed=config["seed"])
+                                 seed=config["seed"],
+                                 n=config.get("n_samples", 10000))
     test_ds = PendulumDRDataset(image_size=config["image_size"],
                                 train=False, downstream=True,
-                                seed=config["seed"])
+                                seed=config["seed"],
+                                n=config.get("n_samples", 10000))
 
     result = robustness(
         model, params,

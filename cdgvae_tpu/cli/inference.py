@@ -42,7 +42,8 @@ def main(argv=None):
 
     dataset = PendulumDataset(
         image_size=config["image_size"], train=True, seed=config["seed"],
-        label_normalization=config.get("label_normalization", True))
+        label_normalization=config.get("label_normalization", True),
+        n=config.get("n_samples", 10000))
     x_data = jax.device_put(dataset.x_data)
 
     os.makedirs(args.assets_dir, exist_ok=True)

@@ -85,7 +85,7 @@ def main(argv=None):
         image_size=config["image_size"], train=True,
         labeled_ratio=config["labeled_ratio"],
         label_normalization=config["label_normalization"],
-        seed=config["seed"])
+        seed=config["seed"], n=config["n_samples"])
     x_data = jax.device_put(dataset.x_data)
     y_data = jax.device_put(dataset.y_data)
 
@@ -126,12 +126,12 @@ def main(argv=None):
             # compiled shape every time (cold compiles are minutes here)
             out = _viz_forward(model, state[0], x_data,
                                config["batch_size"],
-                               jax.random.fold_in(k_train, -1))
+                               jax.random.fold_in(k_train, 2**31))
             viz_recon_grid(np.asarray(out.xhat[:9]),
                            f"{config['assets_dir']}/tmp_image_{epoch}.png")
 
     out = _viz_forward(model, state[0], x_data, config["batch_size"],
-                       jax.random.fold_in(k_train, -1))
+                       jax.random.fold_in(k_train, 2**31))
     viz_recon_grid(np.asarray(out.xhat), f"{config['assets_dir']}/recon.png")
     logger.log_image("reconstruction", f"{config['assets_dir']}/recon.png")
 

@@ -52,7 +52,7 @@ def main(argv=None):
                           tags=["Classifier"], config=config)
 
     dataset = PendulumDataset(image_size=config["image_size"], train=True,
-                              seed=config["seed"])
+                              seed=config["seed"], n=config["n_samples"])
     x_data = jax.device_put(dataset.x_data)
     y_data = jax.device_put(dataset.y_data)
 

@@ -60,9 +60,10 @@ def main(argv=None):
         image_size=config["image_size"], train=True,
         labeled_ratio=config["labeled_ratio"],
         label_normalization=config["label_normalization"],
-        seed=config["seed"])
+        seed=config["seed"], n=config["n_samples"])
     unlabeled = PendulumDataset(
-        image_size=config["image_size"], train=True, seed=config["seed"])
+        image_size=config["image_size"], train=True, seed=config["seed"],
+        n=config["n_samples"])
 
     x_u = jax.device_put(unlabeled.x_data)
     x_l = jax.device_put(labeled.x_data)
@@ -86,7 +87,7 @@ def main(argv=None):
         print(format_epoch(epoch, metrics))
         logger.log(metrics, step=epoch)
 
-    out = model(state[0], x_u[:9], rng=jax.random.fold_in(k_train, -1))
+    out = model(state[0], x_u[:9], rng=jax.random.fold_in(k_train, 2**31))
     viz_recon_grid(np.asarray(out.xhat), f"{config['assets_dir']}/recon.png")
 
     ckpt = os.path.join(config["assets_dir"],

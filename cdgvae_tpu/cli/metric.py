@@ -50,7 +50,8 @@ def main(argv=None):
     clf_params = clf_ckpt["params"]
 
     dataset = PendulumDataset(image_size=config["image_size"], train=True,
-                              seed=config["seed"])
+                              seed=config["seed"],
+                              n=config.get("n_samples", 10000))
     x_data = jax.device_put(dataset.x_data)
 
     lower, upper = cdm_matrices(model, params, classifier, clf_params,

@@ -35,9 +35,11 @@ def main(argv=None):
 
     # downstream=True keeps raw (un-normalized) labels for the target logit
     train_ds = PendulumDataset(image_size=config["image_size"], train=True,
-                               downstream=True, seed=config["seed"])
+                               downstream=True, seed=config["seed"],
+                               n=config.get("n_samples", 10000))
     test_ds = PendulumDataset(image_size=config["image_size"], train=False,
-                              downstream=True, seed=config["seed"])
+                              downstream=True, seed=config["seed"],
+                              n=config.get("n_samples", 10000))
 
     result = sample_efficiency(
         model, params,

@@ -1,0 +1,151 @@
+"""CLI integration smoke tests: every entry point runs end-to-end at toy
+sizes (16px, 200 DGP samples, 1-2 epochs), chained through real checkpoints
+like a user would run them."""
+import json
+import os
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+SMALL = ["--image_size", "16", "--n_samples", "200", "--epochs", "2",
+         "--batch_size", "32"]
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("cli"))
+
+
+@pytest.fixture(scope="module")
+def pendulum_ckpt(workdir):
+    from cdgvae_tpu.cli import main
+    out = os.path.join(workdir, "pend")
+    main.main(SMALL + ["--model", "CDGVAE", "--scm", "linear",
+                       "--assets_dir", out])
+    return os.path.join(out, "model_CDGVAE_linear")
+
+
+@pytest.fixture(scope="module")
+def classifier_ckpt(workdir):
+    from cdgvae_tpu.cli import main_classifier
+    out = os.path.join(workdir, "clf")
+    main_classifier.main(["--image_size", "16", "--n_samples", "200",
+                          "--epochs", "1", "--batch_size", "32",
+                          "--assets_dir", out])
+    return os.path.join(out, "CDMClassifier")
+
+
+def test_main_writes_checkpoint(pendulum_ckpt):
+    assert os.path.exists(os.path.join(pendulum_ckpt, "state.pkl"))
+    cfg = json.load(open(os.path.join(pendulum_ckpt, "config.json")))
+    assert cfg["model"] == "CDGVAE" and cfg["image_size"] == 16
+
+
+def test_main_vae_and_infomax(workdir):
+    from cdgvae_tpu.cli import main
+    main.main(SMALL + ["--model", "VAE", "--epochs", "1",
+                       "--assets_dir", os.path.join(workdir, "vae")])
+    main.main(SMALL + ["--model", "InfoMax", "--epochs", "1",
+                       "--assets_dir", os.path.join(workdir, "infomax")])
+
+
+def test_main_semi(workdir):
+    from cdgvae_tpu.cli import main_semi
+    main_semi.main(SMALL + ["--labeled_ratio", "0.3", "--batch_sizeL", "8",
+                            "--epochs", "1",
+                            "--assets_dir", os.path.join(workdir, "semi")])
+
+
+def test_inference_cli(pendulum_ckpt, workdir):
+    from cdgvae_tpu.cli import inference
+    out = os.path.join(workdir, "inf")
+    grid = inference.main(["--checkpoint", pendulum_ckpt,
+                           "--assets_dir", out])
+    assert grid.shape == (4, 7, 16, 16, 3)
+    assert os.path.exists(os.path.join(out, "do.png"))
+
+
+def test_metric_cli(pendulum_ckpt, classifier_ckpt, workdir):
+    from cdgvae_tpu.cli import metric
+    out = os.path.join(workdir, "cdm")
+    lower, upper = metric.main([
+        "--checkpoint", pendulum_ckpt,
+        "--classifier_checkpoint", classifier_ckpt,
+        "--assets_dir", out])
+    assert lower.shape == (4, 4)
+    # structural zeros survive through the full CLI path
+    assert upper[2, 0] == 0.0 and upper[3, 1] == 0.0
+
+
+def test_sample_efficiency_cli(pendulum_ckpt, workdir):
+    from cdgvae_tpu.cli import sample_efficiency
+    res = sample_efficiency.main(["--checkpoint", pendulum_ckpt,
+                                  "--repeats", "1",
+                                  "--assets_dir",
+                                  os.path.join(workdir, "se")])
+    assert 0 < res["sample_efficiency"]
+
+
+def test_dr_cli_chain(workdir):
+    from cdgvae_tpu.cli import dr_main, dr_robustness
+    out = os.path.join(workdir, "dr")
+    dr_main.main(SMALL + ["--epochs", "1", "--assets_dir", out])
+    ckpt = os.path.join(out, "model_DR_CDGVAE_linear")
+    res = dr_robustness.main(["--checkpoint", ckpt, "--repeats", "1",
+                              "--epochs", "5",
+                              "--assets_dir", os.path.join(workdir, "rob")])
+    assert 0 <= res["worst_group_accuracy"] <= res["avg_accuracy"] <= 1
+
+
+def test_toy_dr_cli():
+    from cdgvae_tpu.cli import toy_dr
+    results = toy_dr.main(["--n", "1000"])
+    assert set(results) == {"Disentangled", "ERM", "Entangled"}
+
+
+def test_tabular_cli_chain(workdir):
+    from cdgvae_tpu.cli import tabular_main, tabular_inference
+    out = os.path.join(workdir, "tab")
+    tabular_main.main(["--dataset", "loan", "--epochs", "2",
+                       "--batch_size", "128", "--assets_dir", out,
+                       "--data_dir", "/nonexistent"])
+    ckpt = os.path.join(out, "tabular_CDGVAE_loan")
+    res = tabular_inference.main(["--checkpoint", ckpt,
+                                  "--data_dir", "/nonexistent",
+                                  "--assets_dir",
+                                  os.path.join(workdir, "tabinf")])
+    assert "SHD (Sample)" in res
+
+
+def test_tabular_tvae_cli(workdir):
+    from cdgvae_tpu.cli import tabular_main_tvae, tabular_inference_tvae
+    out = os.path.join(workdir, "tvae")
+    tabular_main_tvae.main(["--dataset", "loan", "--epochs", "2",
+                            "--assets_dir", out,
+                            "--data_dir", "/nonexistent"])
+    ckpt = os.path.join(out, "tabular_TVAE_loan")
+    res = tabular_inference_tvae.main(["--checkpoint", ckpt,
+                                       "--data_dir", "/nonexistent",
+                                       "--assets_dir",
+                                       os.path.join(workdir, "tvinf")])
+    assert "SHD (Sample)" in res
+
+
+def test_dag_discovery_cli(workdir):
+    from cdgvae_tpu.cli import dag_discovery
+    G_raw, G_label = dag_discovery.main(
+        ["--dataset", "loan", "--data_dir", "/nonexistent",
+         "--assets_dir", os.path.join(workdir, "dag")])
+    assert G_raw.shape == (5, 5)
+    assert G_label.shape == (3, 3)
+
+
+def test_celeba_cli(workdir):
+    from cdgvae_tpu.cli import celeba_main
+    out = os.path.join(workdir, "celeba")
+    celeba_main.main(["--img_size", "32", "--conv_dim", "4", "--epochs", "1",
+                      "--batch_size", "4", "--data_dir", "/nonexistent",
+                      "--assets_dir", out])
+    assert os.path.exists(os.path.join(out, "celeba_CDGVAE_linear",
+                                       "state.pkl"))

@@ -1,0 +1,29 @@
+"""Prefetch pipeline tests."""
+import numpy as np
+import jax
+
+from cdgvae_tpu.data.prefetch import prefetch_batches
+
+
+def test_prefetch_yields_all_full_batches_on_device():
+    x = np.arange(100, dtype=np.float32).reshape(50, 2)
+    y = np.arange(50, dtype=np.float32)
+    rng = np.random.default_rng(0)
+    seen = []
+    for xb, yb in prefetch_batches((x, y), batch_size=16, rng=rng):
+        assert xb.shape == (16, 2) and yb.shape == (16,)
+        assert isinstance(xb, jax.Array)
+        # x/y stay index-aligned through the shuffle
+        np.testing.assert_array_equal(np.asarray(xb[:, 0]),
+                                      np.asarray(yb) * 2)
+        seen.extend(np.asarray(yb).tolist())
+    assert len(seen) == 48  # 3 full batches, remainder dropped
+    assert len(set(seen)) == 48  # no duplicates
+
+
+def test_prefetch_early_exit_does_not_hang():
+    x = np.zeros((1000, 4), dtype=np.float32)
+    rng = np.random.default_rng(0)
+    it = prefetch_batches((x,), batch_size=8, rng=rng, prefetch=2)
+    next(it)
+    it.close()  # generator close must not deadlock the producer
