@@ -63,6 +63,10 @@ def get_args(debug: bool = False, argv=None):
                         help="weight of label alignment loss")
     parser.add_argument("--gamma", default=1, type=float,
                         help="weight of f-divergence (InfoMax)")
+    parser.add_argument("--resume", default="", type=str,
+                        help="checkpoint directory to resume from (restores "
+                             "params + optimizer state + epoch; the "
+                             "reference has no resume path at all)")
     add_infra_args(parser)
     if debug:
         return parser.parse_args(args=[])
@@ -111,15 +115,36 @@ def main(argv=None):
                                config["lambda"], mesh=mesh)
         state = (params, opt_state)
 
-    shuffle_rng = np.random.default_rng(config["seed"])
+    start_epoch = 0
+    if config["resume"]:
+        from ..utils.checkpoint import load_checkpoint
+        ck = load_checkpoint(config["resume"])
+        start_epoch = int(ck["step"])
+        if config["model"] == "InfoMax":
+            raise ValueError("--resume does not restore the InfoMax "
+                             "discriminator state; resume only VAE/CDGVAE")
+        state = (jax.device_put(ck["params"]),
+                 jax.device_put(ck["opt_state"]))
+        print(f"resumed from {config['resume']} at epoch {start_epoch}")
+
+    shuffle_rng = np.random.default_rng(config["seed"] + start_epoch)
     os.makedirs(config["assets_dir"], exist_ok=True)
 
-    for epoch in range(config["epochs"]):
+    for epoch in range(start_epoch, config["epochs"]):
         state, metrics = train_epoch(
             step, state, x_data, y_data, config["batch_size"], k_train,
             epoch, shuffle_rng, drop_remainder=mesh is not None)
         print(format_epoch(epoch, metrics))
         logger.log(metrics, step=epoch)
+
+        if (epoch + 1) % 25 == 0 and epoch + 1 < config["epochs"]:
+            # mid-run checkpoint (the reference saves only once at the end,
+            # main.py:233, with no resume path)
+            save_checkpoint(
+                os.path.join(config["assets_dir"],
+                             f"model_{config['model']}_{config['scm']}"),
+                state[0], opt_state=state[-1], step=epoch + 1,
+                config=config)
 
         if epoch % 10 == 0:
             # forward on a training-batch-sized slice: reuses the same

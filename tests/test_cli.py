@@ -149,3 +149,16 @@ def test_celeba_cli(workdir):
                       "--assets_dir", out])
     assert os.path.exists(os.path.join(out, "celeba_CDGVAE_linear",
                                        "state.pkl"))
+
+
+def test_main_resume(workdir, pendulum_ckpt):
+    """--resume restores params+opt+epoch and continues to the target."""
+    from cdgvae_tpu.cli import main
+    out = os.path.join(workdir, "resumed")
+    state = main.main(SMALL + ["--model", "CDGVAE", "--epochs", "3",
+                               "--resume", pendulum_ckpt,
+                               "--assets_dir", out])
+    cfg = json.load(open(os.path.join(out, "model_CDGVAE_linear",
+                                      "config.json")))
+    assert cfg["epochs"] == 3
+    assert state is not None
