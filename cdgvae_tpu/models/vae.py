@@ -155,13 +155,18 @@ class CDGVAE:
         self._gather = jnp.asarray(gather)
         self._valid = jnp.asarray(valid, dtype=dtype)
 
-        # Band-sliced fast decode: when the masks are an exact row-band
-        # partition (they are for the pendulum family, main.py:167-179),
-        # block k's contribution outside its band is multiplied by zero — the
-        # reference still COMPUTES those outputs (2/3 of final-layer decoder
-        # FLOPs are dead). We detect the bands and, on the training path,
-        # matmul only each block's live output columns. Masked-out outputs
-        # receive zero gradient in both designs, so training is identical.
+        # Band-sliced decoder: when the masks are an exact row-band partition
+        # (they are for the pendulum family, main.py:167-179), block k's
+        # contribution outside its band is multiplied by zero — the reference
+        # still COMPUTES those outputs AND stores/updates their weights (2/3
+        # of the final layer; zero grad forever, frozen at init, yet Adam
+        # reads+writes param/m/v for all of them every step — profiled at
+        # >50% of the train step's time, it is the HBM-bandwidth hot spot).
+        # We detect the bands and store ONLY each block's live output columns
+        # of the final layer: identical math for every masked/user-visible
+        # output; `xhat_separated` is exactly zero outside a block's band
+        # (the reference holds untrained init noise there, multiplied by
+        # zero downstream).
         self._bands = self._detect_row_bands(np.asarray(masks))
 
     @staticmethod
@@ -189,14 +194,30 @@ class CDGVAE:
     def init(self, key: jax.Array) -> dict:
         k1, k2, k3 = jax.random.split(key, 3)
         in_dim = 3 * self.image_size * self.image_size
+        if self._bands is None:
+            decoder = nn.stacked_mlp_init(
+                k3, self.K, [self.kmax, self.hidden, self.hidden,
+                             self.out_dim], self.dtype)
+        else:
+            k3, k4 = jax.random.split(k3)
+            decoder = nn.stacked_mlp_init(
+                k3, self.K, [self.kmax, self.hidden, self.hidden],
+                self.dtype)
+            out = {}
+            bound = 1.0 / np.sqrt(self.hidden)
+            for k, (c0, c1) in enumerate(self._bands):
+                kw, kb, k4 = jax.random.split(k4, 3)
+                out[f"w{k}"] = jax.random.uniform(
+                    kw, (self.hidden, c1 - c0), self.dtype, -bound, bound)
+                out[f"b{k}"] = jax.random.uniform(
+                    kb, (c1 - c0,), self.dtype, -bound, bound)
+            decoder["out"] = out
         return {
             "encoder": nn.mlp_init(
                 k1, [in_dim, self.hidden, self.hidden, self.node * 2],
                 self.dtype),
             "causal": self.graph.init(k2),
-            "decoder": nn.stacked_mlp_init(
-                k3, self.K, [self.kmax, self.hidden, self.hidden,
-                             self.out_dim], self.dtype),
+            "decoder": decoder,
         }
 
     # -- reference method surface -------------------------------------------
@@ -216,25 +237,46 @@ class CDGVAE:
         return mean, logvar, epsilon, orig_latent, latent, logdet
 
     def _decoder_hidden(self, params, latent):
-        """[batch, node] -> [K, batch, hidden]: all layers but the last of
-        the K decoders as one stacked batched matmul."""
+        """[batch, node] -> [K, batch, hidden]: all hidden layers of the K
+        decoders as one stacked batched matmul."""
         blocks = latent[:, self._gather]            # [batch, K, kmax]
         blocks = blocks * self._valid               # zero padded positions
         blocks = jnp.transpose(blocks, (1, 0, 2))   # [K, batch, kmax]
-        n = len(params["decoder"])
+        n = sum(1 for k in params["decoder"] if k.startswith("layer"))
+        n_hidden = n if "out" in params["decoder"] else n - 1
         h = blocks
-        for i in range(n - 1):
+        for i in range(n_hidden):
             h = nn.stacked_dense(params["decoder"][f"layer{i}"], h)
             h = jax.nn.elu(h)
         return h
+
+    def _band_pieces(self, params, h):
+        """[K, batch, hidden] -> per-band final-layer outputs
+        ([batch, band_k width] each) from the sliced output params."""
+        out = params["decoder"]["out"]
+        return [h[k] @ out[f"w{k}"] + out[f"b{k}"]
+                for k in range(self.K)]
 
     def decode(self, params, latent):
         """latent [batch, node] -> (xhat_separated [K,batch,out], xhat image).
 
         One stacked-MLP evaluation of all K GAM decoders; per-block spatial
-        masking + sum + tanh (reference modules/model.py:281-288).
+        masking + sum + tanh (reference modules/model.py:281-288). With a
+        band-sliced final layer the masked sum is a concatenation of the
+        per-band outputs — identical xhat; xhat_separated is zero outside
+        each block's band.
         """
         h = self._decoder_hidden(params, latent)
+        if "out" in params["decoder"]:
+            pieces = self._band_pieces(params, h)
+            batch = h.shape[1]
+            xhat_sep = jnp.zeros((self.K, batch, self.out_dim), h.dtype)
+            for k, (c0, c1) in enumerate(self._bands):
+                xhat_sep = xhat_sep.at[k, :, c0:c1].set(pieces[k])
+            flat = jnp.concatenate(pieces, axis=1)
+            xhat = jnp.tanh(flat.reshape(-1, self.image_size,
+                                         self.image_size, 3))
+            return xhat_sep, xhat
         last = params["decoder"][f"layer{len(params['decoder']) - 1}"]
         xhat_sep = nn.stacked_dense(last, h)        # [K, batch, out]
         imgs = xhat_sep.reshape(self.K, -1, self.image_size, self.image_size,
@@ -244,19 +286,13 @@ class CDGVAE:
         return xhat_sep, xhat
 
     def decode_fast(self, params, latent):
-        """Band-sliced decode: identical xhat to :meth:`decode` but each
-        block's final matmul only computes its live output band (the masks
-        partition rows, so the masked sum is a concatenation). Falls back to
+        """Band-sliced decode: identical xhat to :meth:`decode`, skipping the
+        [K,batch,out] scatter used only for GAM visualization. Falls back to
         the masked path when the masks are not a row partition."""
-        if self._bands is None:
+        if "out" not in params["decoder"]:
             return self.decode(params, latent)[1]
         h = self._decoder_hidden(params, latent)    # [K, batch, hidden]
-        last = params["decoder"][f"layer{len(params['decoder']) - 1}"]
-        pieces = []
-        for k, (c0, c1) in enumerate(self._bands):
-            pieces.append(h[k] @ last["w"][k][:, c0:c1]
-                          + last["b"][k, 0, c0:c1])
-        xhat = jnp.concatenate(pieces, axis=1)
+        xhat = jnp.concatenate(self._band_pieces(params, h), axis=1)
         return jnp.tanh(xhat.reshape(-1, self.image_size, self.image_size,
                                      3))
 

@@ -114,3 +114,57 @@ def test_block_groups_wiring():
     # smile structure: [smile,cheek],[smile,mouth],[smile,chubby],
     # [smile,male,eyes] (celeba/module/model.py:189-195)
     assert BLOCK_GROUPS == ([0, 2], [0, 3], [0, 4], [0, 1, 5])
+
+
+def test_preprocess_synthetic_corpus(tmp_path):
+    """End-to-end preprocess on a tiny generated CelebAMask-HQ-layout corpus
+    (reference celeba/preprocess.py): images + part-mask PNGs + attribute
+    annotation file -> [H,W,8] npy + 6-dim labels, loadable by CelebADataset."""
+    import cv2
+    from cdgvae_tpu.data.celeba import preprocess
+
+    base = tmp_path / "CelebAMask-HQ"
+    (base / "CelebA-HQ-img").mkdir(parents=True)
+    (base / "CelebAMask-HQ-mask-anno" / "0").mkdir(parents=True)
+
+    attrs = ("5_o_Clock_Shadow Arched_Eyebrows Attractive Bags_Under_Eyes "
+             "Bald Bangs Big_Lips Big_Nose Black_Hair Blond_Hair Blurry "
+             "Brown_Hair Bushy_Eyebrows Chubby Double_Chin Eyeglasses "
+             "Goatee Gray_Hair Heavy_Makeup High_Cheekbones Male "
+             "Mouth_Slightly_Open Mustache Narrow_Eyes No_Beard Oval_Face "
+             "Pale_Skin Pointy_Nose Receding_Hairline Rosy_Cheeks Sideburns "
+             "Smiling Straight_Hair Wavy_Hair Wearing_Earrings Wearing_Hat "
+             "Wearing_Lipstick Wearing_Necklace Wearing_Necktie Young")
+    n_attr = len(attrs.split())
+    rng = np.random.default_rng(0)
+    rows = []
+    n = 3
+    for i in range(n):
+        img = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)
+        cv2.imwrite(str(base / "CelebA-HQ-img" / f"{i}.jpg"), img)
+        # part masks for a subset of parts; some parts deliberately missing
+        for part in ["skin", "mouth", "l_eye", "hair"]:
+            m = np.zeros((512, 512, 3), dtype=np.uint8)
+            m[100 + 50 * i: 200 + 50 * i, 100:300] = 255
+            cv2.imwrite(str(base / "CelebAMask-HQ-mask-anno" / "0" /
+                            f"{i:05d}_{part}.png"), m)
+        vals = rng.choice([-1, 1], n_attr)
+        rows.append(f"{i}.jpg " + " ".join(str(v) for v in vals))
+    anno = [str(n), attrs] + rows
+    (base / "CelebAMask-HQ-attribute-anno.txt").write_text(
+        "\n".join(anno) + "\n")
+
+    out = tmp_path / "out"
+    preprocess(str(base), str(out), causal_structure="smile", img_size=64,
+               train=True)
+
+    ds = CelebADataset(data_dir=str(out), causal_structure=0, train=True,
+                       img_size=64)
+    assert ds.x_data.shape == (n, 64, 64, 8)
+    assert ds.y_data.shape == (n, 6)
+    # RGB channels normalized to [0,1]; mask channels binary
+    assert ds.x_data[..., :3].min() >= 0.0 and ds.x_data[..., :3].max() <= 1.0
+    assert set(np.unique(ds.x_data[..., 3:])) <= {0.0, 1.0}
+    assert set(np.unique(ds.y_data)) <= {0.0, 1.0}
+    # mask group 0 (skin) must be non-empty, group for missing parts empty
+    assert ds.x_data[..., 3].sum() > 0

@@ -60,19 +60,23 @@ def test_stacked_gam_decoder_equals_per_block_mlps():
 
     blocks = [latent[:, [0]], latent[:, [1]], latent[:, [2, 3]]]
     dec = params["decoder"]
+    n_hidden = sum(1 for key in dec if key.startswith("layer"))
     for k, blk in enumerate(blocks):
         # pad block to kmax, then run that slice of the stacked params
         pad = jnp.pad(blk, ((0, 0), (0, model.kmax - blk.shape[1])))
         h = pad
-        n_layers = len(dec)
-        for i in range(n_layers):
+        for i in range(n_hidden):
             W = dec[f"layer{i}"]["w"][k]
             b = dec[f"layer{i}"]["b"][k, 0]
-            h = h @ W + b
-            if i < n_layers - 1:
-                h = jax.nn.elu(h)
-        np.testing.assert_allclose(np.asarray(xhat_sep[k]), np.asarray(h),
-                                   rtol=2e-2, atol=2e-5)
+            h = jax.nn.elu(h @ W + b)
+        # band-sliced final layer: live columns match the per-block MLP,
+        # masked-out columns are exactly zero
+        c0, c1 = model._bands[k]
+        h = h @ dec["out"][f"w{k}"] + dec["out"][f"b{k}"]
+        np.testing.assert_allclose(np.asarray(xhat_sep[k, :, c0:c1]),
+                                   np.asarray(h), rtol=2e-2, atol=2e-5)
+        dead = np.delete(np.asarray(xhat_sep[k]), np.s_[c0:c1], axis=1)
+        np.testing.assert_array_equal(dead, 0.0)
 
     masks = pendulum_masks(64)
     manual = np.tanh(sum(
