@@ -89,3 +89,24 @@ def test_dataset_and_label_normalization():
     # labeled_ratio truncation
     ds_semi = PendulumDataset(n=80, train=True, labeled_ratio=0.5, seed=1)
     assert len(ds_semi) == 30
+
+
+def test_pallas_renderer_matches_xla():
+    """The Pallas TPU kernel (ops/renderer_pallas.py) must reproduce the XLA
+    renderer exactly (1e-5, fp reassociation only) — including the DR blue
+    background and non-TILE_B-multiple batch padding. Runs the kernel in
+    interpret mode so the parity check works on CPU."""
+    from cdgvae_tpu.ops.renderer_pallas import render_pallas
+
+    factors, _ = sample_factors_real(seed=3, n=13)  # 13: exercises padding
+    f = jnp.asarray(factors[:, :4], jnp.float32)
+    bg = jnp.asarray(np.random.default_rng(0).integers(0, 2, 13),
+                     jnp.float32)
+
+    a = render(f, size=64)
+    b = render_pallas(f, size=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+
+    a = render(f, size=64, background=bg)
+    b = render_pallas(f, size=64, background=bg, interpret=True)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
