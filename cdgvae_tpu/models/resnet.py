@@ -1,4 +1,4 @@
-"""ResNet-18/34 encoder in functional JAX, NHWC.
+"""ResNet-18/34/50 encoder in functional JAX, NHWC.
 
 The reference uses torchvision's ImageNet-pretrained resnet18 with all layers
 frozen except a new fc head (celeba/module/model.py:117-125); it also ships
@@ -69,8 +69,38 @@ def _basic_block(p, x, stride=1):
     return jax.nn.relu(h + identity)
 
 
-_LAYERS = {"resnet18": [2, 2, 2, 2], "resnet34": [3, 4, 6, 3]}
+def _bottleneck_init(key, in_ch, out_ch, dtype=jnp.float32):
+    """ResNet-50 bottleneck: 1x1 reduce -> 3x3 -> 1x1 expand (x4)."""
+    mid = out_ch // 4
+    ks = jax.random.split(key, 4)
+    p = {
+        "conv1": _conv_init(ks[0], in_ch, mid, 1, dtype),
+        "bn1": _bn_init(mid, dtype),
+        "conv2": _conv_init(ks[1], mid, mid, 3, dtype),
+        "bn2": _bn_init(mid, dtype),
+        "conv3": _conv_init(ks[2], mid, out_ch, 1, dtype),
+        "bn3": _bn_init(out_ch, dtype),
+    }
+    if in_ch != out_ch:
+        p["down_conv"] = _conv_init(ks[3], in_ch, out_ch, 1, dtype)
+        p["down_bn"] = _bn_init(out_ch, dtype)
+    return p
+
+
+def _bottleneck(p, x, stride=1):
+    identity = x
+    h = jax.nn.relu(_bn(p["bn1"], _conv(p["conv1"], x)))
+    h = jax.nn.relu(_bn(p["bn2"], _conv(p["conv2"], h, stride)))
+    h = _bn(p["bn3"], _conv(p["conv3"], h))
+    if "down_conv" in p:
+        identity = _bn(p["down_bn"], _conv(p["down_conv"], x, stride))
+    return jax.nn.relu(h + identity)
+
+
+_LAYERS = {"resnet18": [2, 2, 2, 2], "resnet34": [3, 4, 6, 3],
+           "resnet50": [3, 4, 6, 3]}
 _WIDTHS = [64, 128, 256, 512]
+_BOTTLENECK = {"resnet18": False, "resnet34": False, "resnet50": True}
 
 
 class ResNetEncoder:
@@ -81,6 +111,8 @@ class ResNetEncoder:
                  dtype=jnp.float32):
         self.out_dim = out_dim
         self.layers = _LAYERS[depth]
+        self.bottleneck = _BOTTLENECK[depth]
+        self.expansion = 4 if self.bottleneck else 1
         self.in_channels = in_channels
         self.freeze_trunk = freeze_trunk
         self.dtype = dtype
@@ -93,16 +125,19 @@ class ResNetEncoder:
              "stem_bn": _bn_init(64, self.dtype)}
         ki = 1
         in_ch = 64
+        block_init = _bottleneck_init if self.bottleneck \
+            else _basic_block_init
         for li, (n, width) in enumerate(zip(self.layers, _WIDTHS)):
             for bi in range(n):
-                p[f"layer{li}_{bi}"] = _basic_block_init(
-                    ks[ki], in_ch, width, self.dtype)
-                in_ch = width
+                p[f"layer{li}_{bi}"] = block_init(
+                    ks[ki], in_ch, width * self.expansion, self.dtype)
+                in_ch = width * self.expansion
                 ki += 1
-        bound = 1.0 / math.sqrt(512)
+        feat_dim = 512 * self.expansion
+        bound = 1.0 / math.sqrt(feat_dim)
         kw, kb = jax.random.split(ks[-1])
         p["fc"] = {
-            "w": jax.random.uniform(kw, (512, self.out_dim), self.dtype,
+            "w": jax.random.uniform(kw, (feat_dim, self.out_dim), self.dtype,
                                     -bound, bound),
             "b": jax.random.uniform(kb, (self.out_dim,), self.dtype,
                                     -bound, bound),
@@ -117,9 +152,10 @@ class ResNetEncoder:
                             _conv(trunk["stem_conv"], x, stride=2)))
         h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max,
                                   (1, 3, 3, 1), (1, 2, 2, 1), "SAME")
+        block = _bottleneck if self.bottleneck else _basic_block
         for li, n in enumerate(self.layers):
             for bi in range(n):
                 stride = 2 if (li > 0 and bi == 0) else 1
-                h = _basic_block(trunk[f"layer{li}_{bi}"], h, stride)
+                h = block(trunk[f"layer{li}_{bi}"], h, stride)
         feat = h.mean(axis=(1, 2))  # global average pool
         return feat @ params["fc"]["w"] + params["fc"]["b"]

@@ -168,3 +168,19 @@ def test_preprocess_synthetic_corpus(tmp_path):
     assert set(np.unique(ds.y_data)) <= {0.0, 1.0}
     # mask group 0 (skin) must be non-empty, group for missing parts empty
     assert ds.x_data[..., 3].sum() > 0
+
+
+def test_resnet_depth_variants():
+    """All three reference depths (celeba/module/resnet.py ships 18/34/50)
+    produce the right feature head; resnet50 uses bottleneck (4x) widths."""
+    x = jnp.ones((2, 32, 32, 3), jnp.float32)
+    for depth, blocks in [("resnet34", "layer1_3"), ("resnet50", "layer3_2")]:
+        enc = ResNetEncoder(out_dim=7, depth=depth, freeze_trunk=False)
+        params = enc.init(jax.random.key(0))
+        assert blocks in params
+        out = enc(params, x)
+        assert out.shape == (2, 7)
+        assert bool(jnp.all(jnp.isfinite(out)))
+    # bottleneck expansion: resnet50 fc input is 2048
+    enc50 = ResNetEncoder(out_dim=3, depth="resnet50")
+    assert enc50.init(jax.random.key(1))["fc"]["w"].shape == (2048, 3)
