@@ -10,13 +10,15 @@ import os
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import optax
 
 from ..data.celeba import CelebADataset
 from ..models.celeba import CelebACDGVAE, celeba_B
 from ..ops.causal import CausalGraph
-from ..train.celeba_steps import make_celeba_step
+from ..train.celeba_steps import make_celeba_step, celeba_unjitted_step
 from ..train.loop import train_epoch, format_epoch
+from ..train.scanned import make_scanned_epochs
 from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
@@ -51,6 +53,10 @@ def get_args(debug: bool = False, argv=None):
                         help="train the encoder trunk end-to-end instead of "
                              "freezing it (reference freezes a pretrained "
                              "resnet18; no pretrained weights offline)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="run the network in bfloat16 (params/losses "
+                             "stay f32) — pays on this conv/MXU-bound "
+                             "family, unlike the pendulum MLPs")
     add_infra_args(parser)
     if debug:
         return parser.parse_args(args=[])
@@ -85,26 +91,63 @@ def main(argv=None):
 
     mesh = resolve_mesh(config)
     optimizer = optax.adam(config["lr"])
-    step = make_celeba_step(model, optimizer, config["beta"],
-                            config["lambda"], mesh=mesh)
+    compute_dtype = jnp.bfloat16 if config["bf16"] else None
     state = (params, optimizer.init(params))
 
-    shuffle_rng = np.random.default_rng(config["seed"])
     os.makedirs(config["assets_dir"], exist_ok=True)
-    for epoch in range(config["epochs"]):
-        # reference uses drop_last=True (celeba/main.py:70-72)
-        state, metrics = train_epoch(
-            step, state, x_data, y_data, config["batch_size"], k_train,
-            epoch, shuffle_rng, drop_remainder=True)
-        print(format_epoch(epoch, metrics))
-        logger.log(metrics, step=epoch)
-        if epoch % 10 == 0:
-            n = min(9, len(x_data))
-            out = model(state[0], x_data[:n],
-                        rng=jax.random.fold_in(k_train, 2**31))
-            viz_recon_grid(np.asarray(out.xhat),
-                           f"{config['assets_dir']}/tmp_image_{epoch}.png",
-                           n=n)
+    if mesh is None:
+        # dataset is device-resident -> scan-compile whole epoch chunks
+        # (one dispatch per <=10 epochs; drop_last matches the reference,
+        # celeba/main.py:70-72)
+        raw = celeba_unjitted_step(model, optimizer, config["beta"],
+                                   config["lambda"],
+                                   compute_dtype=compute_dtype)
+        run = make_scanned_epochs(raw, batch_size=config["batch_size"],
+                                  n_epochs_per_call=min(10,
+                                                        config["epochs"]))
+        # jit the recon viz: the SAGAN forward is hundreds of ops — run
+        # eagerly, each would be its own device dispatch
+        n_viz = min(9, len(x_data))
+        viz_fwd = jax.jit(lambda p, x, r: model(p, x, rng=r).xhat)
+        epoch = 0
+        while epoch < config["epochs"]:
+            n_call = min(10, config["epochs"] - epoch)
+            if n_call != min(10, config["epochs"]):
+                run = make_scanned_epochs(raw,
+                                          batch_size=config["batch_size"],
+                                          n_epochs_per_call=n_call)
+            p, o = state
+            p, o, ms = run(p, o, x_data, y_data, k_train, epoch)
+            state = (p, o)
+            ms = {k: np.asarray(v) for k, v in ms.items()}
+            for i in range(n_call):
+                metrics = {k: float(v[i]) for k, v in ms.items()}
+                print(format_epoch(epoch + i, metrics))
+                logger.log(metrics, step=epoch + i)
+            epoch += n_call
+            xhat = viz_fwd(state[0], x_data[:n_viz],
+                           jax.random.fold_in(k_train, 2**31))
+            viz_recon_grid(np.asarray(xhat),
+                           f"{config['assets_dir']}/tmp_image_{epoch - 1}"
+                           ".png", n=n_viz)
+    else:
+        step = make_celeba_step(model, optimizer, config["beta"],
+                                config["lambda"], mesh=mesh,
+                                compute_dtype=compute_dtype)
+        shuffle_rng = np.random.default_rng(config["seed"])
+        for epoch in range(config["epochs"]):
+            state, metrics = train_epoch(
+                step, state, x_data, y_data, config["batch_size"], k_train,
+                epoch, shuffle_rng, drop_remainder=True)
+            print(format_epoch(epoch, metrics))
+            logger.log(metrics, step=epoch)
+            if epoch % 10 == 0:
+                n = min(9, len(x_data))
+                out = model(state[0], x_data[:n],
+                            rng=jax.random.fold_in(k_train, 2**31))
+                viz_recon_grid(np.asarray(out.xhat),
+                               f"{config['assets_dir']}/tmp_image_{epoch}"
+                               ".png", n=n)
 
     ckpt = os.path.join(config["assets_dir"],
                         f"celeba_{config['model']}_{config['scm']}")

@@ -194,23 +194,19 @@ class CDGVAE:
     def init(self, key: jax.Array) -> dict:
         k1, k2, k3 = jax.random.split(key, 3)
         in_dim = 3 * self.image_size * self.image_size
-        if self._bands is None:
-            decoder = nn.stacked_mlp_init(
-                k3, self.K, [self.kmax, self.hidden, self.hidden,
-                             self.out_dim], self.dtype)
-        else:
-            k3, k4 = jax.random.split(k3)
-            decoder = nn.stacked_mlp_init(
-                k3, self.K, [self.kmax, self.hidden, self.hidden],
-                self.dtype)
+        decoder = nn.stacked_mlp_init(
+            k3, self.K, [self.kmax, self.hidden, self.hidden,
+                         self.out_dim], self.dtype)
+        if self._bands is not None:
+            # Slice each block's live band out of the SAME stacked draw the
+            # unsliced layout would use: bit-identical initialization (and
+            # therefore bit-identical training) to the full layout — the
+            # dead weights are simply never materialized as parameters.
+            last = decoder.pop(f"layer{len(decoder) - 1}")
             out = {}
-            bound = 1.0 / np.sqrt(self.hidden)
             for k, (c0, c1) in enumerate(self._bands):
-                kw, kb, k4 = jax.random.split(k4, 3)
-                out[f"w{k}"] = jax.random.uniform(
-                    kw, (self.hidden, c1 - c0), self.dtype, -bound, bound)
-                out[f"b{k}"] = jax.random.uniform(
-                    kb, (c1 - c0,), self.dtype, -bound, bound)
+                out[f"w{k}"] = last["w"][k, :, c0:c1]
+                out[f"b{k}"] = last["b"][k, 0, c0:c1]
             decoder["out"] = out
         return {
             "encoder": nn.mlp_init(

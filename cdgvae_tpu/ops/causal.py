@@ -88,8 +88,11 @@ class CausalGraph:
         vectorised flow over the node axis.
         """
         # tiny [B, n] @ [n, n] solve: force full f32 precision — the MXU's
-        # default bf16 passes would perturb the latents for no speed gain
-        orig_latent = jnp.dot(eps, self.I_B_inv, precision=jax.lax.Precision.HIGHEST)
+        # default bf16 passes would perturb the latents for no speed gain.
+        # The constant follows eps's dtype so mixed-precision callers don't
+        # get silently promoted back to f32 mid-network.
+        orig_latent = jnp.dot(eps, self.I_B_inv.astype(eps.dtype),
+                              precision=jax.lax.Precision.HIGHEST)
         latent, logdet = self.flows.forward(params["flows"], orig_latent)
         return orig_latent, latent, logdet
 
@@ -114,7 +117,8 @@ class CausalGraph:
                 cols[j] = eps[:, 0]
             else:
                 parents = jnp.stack(cols[:j], axis=1)
-                cols[j] = parents @ self.B[:j, j] + eps[:, j]
+                cols[j] = parents @ self.B[:j, j].astype(parents.dtype) \
+                    + eps[:, j]
         return jnp.stack(cols, axis=1)
 
     def do_intervention(self, params: dict, latent: jax.Array,

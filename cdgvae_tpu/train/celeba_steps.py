@@ -12,13 +12,29 @@ from ..ops import losses
 from .steps import _jit_step
 
 
-def make_celeba_step(model, optimizer: optax.GradientTransformation,
-                     beta: float, lam: float, mesh=None,
-                     donate: bool = True):
+def celeba_unjitted_step(model, optimizer: optax.GradientTransformation,
+                         beta: float, lam: float, compute_dtype=None):
+    """The raw (unjitted) CelebA step — used directly inside
+    train.scanned.make_scanned_epochs, or jitted via make_celeba_step.
+
+    ``compute_dtype=jnp.bfloat16`` runs the SAGAN/ResNet network in bf16
+    (classic mixed precision: params/optimizer/losses stay f32). Unlike the
+    pendulum MLPs (latency-bound, bf16 loses — docs/PERF.md), the CelebA
+    family is conv/MXU-bound where bf16 doubles peak."""
     node, latent_dim = model.node, model.latent_dim
 
     def loss_fn(params, x, y, rng):
-        out = model(params, x, rng)
+        if compute_dtype is not None:
+            cast = jax.tree.map(
+                lambda p: p.astype(compute_dtype)
+                if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
+            out = model(cast, x.astype(compute_dtype), rng)
+            out = jax.tree.map(
+                lambda t: t.astype(jnp.float32)
+                if isinstance(t, jax.Array)
+                and jnp.issubdtype(t.dtype, jnp.floating) else t, out)
+        else:
+            out = model(params, x, rng)
         x_rgb = x[..., :3] * 2.0 - 1.0  # (celeba/module/train.py:33)
         recon = losses.l1_recon(out.xhat, x_rgb)
         # KL2 subtracts node (not latent_dim) like the reference
@@ -41,4 +57,11 @@ def make_celeba_step(model, optimizer: optax.GradientTransformation,
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
+    return step
+
+
+def make_celeba_step(model, optimizer: optax.GradientTransformation,
+                     beta: float, lam: float, mesh=None,
+                     donate: bool = True, compute_dtype=None):
+    step = celeba_unjitted_step(model, optimizer, beta, lam, compute_dtype)
     return _jit_step(step, mesh, donate, n_batch_args=2)

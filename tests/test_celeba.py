@@ -184,3 +184,26 @@ def test_resnet_depth_variants():
     # bottleneck expansion: resnet50 fc input is 2048
     enc50 = ResNetEncoder(out_dim=3, depth="resnet50")
     assert enc50.init(jax.random.key(1))["fc"]["w"].shape == (2048, 3)
+
+
+def test_celeba_bf16_step_keeps_f32_state():
+    """Mixed precision: network in bf16, params/opt/losses f32; loss close
+    to the f32 step's at init."""
+    B = celeba_B(SMILE_NODES, 0)
+    graph = CausalGraph(B, scm="linear")
+    model = CelebACDGVAE(graph, latent_dim=6, image_size=32, conv_dim=4)
+    x, y = synthetic_celeba(n=4, img_size=32, seed=0)
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    opt = optax.adam(1e-3)
+
+    losses = {}
+    for dt in (None, jnp.bfloat16):
+        params = model.init(jax.random.key(0))
+        step = make_celeba_step(model, opt, beta=0.1, lam=5.0,
+                                compute_dtype=dt)
+        p2, _, m = step(params, opt.init(params), x, y, jax.random.key(1))
+        losses[dt] = float(m["loss"])
+        assert all(l.dtype == jnp.float32
+                   for l in jax.tree_util.tree_leaves(p2))
+        assert m["loss"].dtype == jnp.float32
+    assert abs(losses[None] - losses[jnp.bfloat16]) / losses[None] < 0.05
