@@ -13,7 +13,6 @@ output.
 """
 from __future__ import annotations
 
-from functools import partial
 
 import numpy as np
 import jax
@@ -36,32 +35,34 @@ def cdm_matrices(model, params, classifier, clf_params, x_data,
         dec = model.decode(params, z)
         return dec[1] if isinstance(dec, tuple) else dec
 
-    @partial(jax.jit, static_argnames=("do_index",))
-    def batch_scores(params, clf_params, x, do_index, vmin, vmax):
+    @jax.jit
+    def batch_scores_all(params, clf_params, x, vmins, vmaxs):
+        """[node, node] per-batch sums for ALL source nodes in one program:
+        the dataset batch is encoded ONCE and uploaded ONCE (the reference —
+        and our first version — redid both per source node)."""
         _, _, eps, _, latent, _ = model.encode(params, x,
                                                deterministic=True)
 
-        def score(val):
+        def score(do_index, val):
             z_do = model.graph.do_intervention(params["causal"], latent,
                                                eps, do_index, val)
             xhat = _decode(params, z_do)
             return jax.nn.sigmoid(classifier(clf_params, xhat))
 
-        s_min, s_max = score(vmin), score(vmax)
-        diff = s_min - s_max
-        return diff.sum(axis=0), jnp.abs(diff).sum(axis=0)
+        diffs, absd = [], []
+        for s in range(node):  # static unroll, node <= 6
+            diff = score(s, vmins[s]) - score(s, vmaxs[s])
+            diffs.append(diff.sum(axis=0))
+            absd.append(jnp.abs(diff).sum(axis=0))
+        return jnp.stack(diffs), jnp.stack(absd)
 
-    lower = np.zeros((node, node))
-    upper = np.zeros((node, node))
-    for s in range(node):
-        sum_diff = np.zeros(node)
-        sum_abs = np.zeros(node)
-        for i in range(0, len(x_data), batch_size):
-            d, a = batch_scores(params, clf_params,
-                                x_data[i: i + batch_size], s,
-                                float(latent_min[s]), float(latent_max[s]))
-            sum_diff += np.asarray(d)
-            sum_abs += np.asarray(a)
-        lower[s] = np.abs(sum_diff / n)
-        upper[s] = sum_abs / n
-    return lower, upper
+    vmins = jnp.asarray(latent_min, jnp.float32)
+    vmaxs = jnp.asarray(latent_max, jnp.float32)
+    sum_diff = np.zeros((node, node))
+    sum_abs = np.zeros((node, node))
+    for i in range(0, len(x_data), batch_size):
+        d, a = batch_scores_all(params, clf_params,
+                                x_data[i: i + batch_size], vmins, vmaxs)
+        sum_diff += np.asarray(d)
+        sum_abs += np.asarray(a)
+    return np.abs(sum_diff / n), sum_abs / n
