@@ -17,6 +17,7 @@ from ..data.pendulum import PendulumDataset
 from ..factory import build_pendulum_model
 from ..train.steps import make_train_step, make_infomax_step
 from ..train.loop import train_epoch, format_epoch
+from ..train.scanned import make_scanned_epochs, unjitted_step
 from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
@@ -73,9 +74,14 @@ def get_args(debug: bool = False, argv=None):
     return parser.parse_args(argv)
 
 
-def _viz_forward(model, params, x_data, batch_size, rng):
+def _viz_forward(model, params, x_data, batch_size, rng, _cache={}):
+    # jitted + cached per (model, shape): an eager forward is one tunnel
+    # round trip PER OP on this backend (docs/PERF.md)
     n = min(batch_size, len(x_data))
-    return model(params, x_data[:n], rng=rng)
+    key = (id(model), n)
+    if key not in _cache:
+        _cache[key] = jax.jit(lambda p, x, r: model(p, x, rng=r))
+    return _cache[key](params, x_data[:n], rng)
 
 
 def main(argv=None):
@@ -130,13 +136,7 @@ def main(argv=None):
     shuffle_rng = np.random.default_rng(config["seed"] + start_epoch)
     os.makedirs(config["assets_dir"], exist_ok=True)
 
-    for epoch in range(start_epoch, config["epochs"]):
-        state, metrics = train_epoch(
-            step, state, x_data, y_data, config["batch_size"], k_train,
-            epoch, shuffle_rng, drop_remainder=mesh is not None)
-        print(format_epoch(epoch, metrics))
-        logger.log(metrics, step=epoch)
-
+    def _post_epoch(state, epoch):
         if (epoch + 1) % 25 == 0 and epoch + 1 < config["epochs"]:
             # mid-run checkpoint (the reference saves only once at the end,
             # main.py:233, with no resume path)
@@ -145,7 +145,6 @@ def main(argv=None):
                              f"model_{config['model']}_{config['scm']}"),
                 state[0], opt_state=state[-1], step=epoch + 1,
                 config=config)
-
         if epoch % 10 == 0:
             # forward on a training-batch-sized slice: reuses the same
             # compiled shape every time (cold compiles are minutes here)
@@ -154,6 +153,46 @@ def main(argv=None):
                                jax.random.fold_in(k_train, 2**31))
             viz_recon_grid(np.asarray(out.xhat[:9]),
                            f"{config['assets_dir']}/tmp_image_{epoch}.png")
+
+    if config["model"] != "InfoMax" and mesh is None:
+        # scan-compiled trainer: one device dispatch per 5-epoch chunk
+        # (the reference protocol dispatches per batch — ~5800 host round
+        # trips for its 100-epoch run; this path does 20). Chunk size 5
+        # keeps the 10-epoch viz and 25-epoch checkpoint cadences on chunk
+        # boundaries. The remainder batch of each epoch is dropped (fixed
+        # shapes under scan; <2% of steps at the reference sizes).
+        raw = unjitted_step(model, optimizer, config["beta"],
+                            config["lambda"])
+        chunk = min(5, config["epochs"] - start_epoch)
+        run = make_scanned_epochs(raw, batch_size=config["batch_size"],
+                                  n_epochs_per_call=chunk)
+        epoch = start_epoch
+        while epoch < config["epochs"]:
+            n_call = min(5, config["epochs"] - epoch)
+            if n_call != chunk:
+                chunk = n_call
+                run = make_scanned_epochs(
+                    raw, batch_size=config["batch_size"],
+                    n_epochs_per_call=n_call)
+            p, o = state
+            p, o, ms = run(p, o, x_data, y_data, k_train, epoch)
+            state = (p, o)
+            ms = {k: np.asarray(v) for k, v in ms.items()}
+            for i in range(n_call):
+                metrics = {k: float(v[i]) for k, v in ms.items()}
+                print(format_epoch(epoch + i, metrics))
+                logger.log(metrics, step=epoch + i)
+            for i in range(n_call):
+                _post_epoch(state, epoch + i)
+            epoch += n_call
+    else:
+        for epoch in range(start_epoch, config["epochs"]):
+            state, metrics = train_epoch(
+                step, state, x_data, y_data, config["batch_size"], k_train,
+                epoch, shuffle_rng, drop_remainder=mesh is not None)
+            print(format_epoch(epoch, metrics))
+            logger.log(metrics, step=epoch)
+            _post_epoch(state, epoch)
 
     out = _viz_forward(model, state[0], x_data, config["batch_size"],
                        jax.random.fold_in(k_train, 2**31))
