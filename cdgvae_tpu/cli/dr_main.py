@@ -12,7 +12,7 @@ import optax
 from ..data.pendulum_dr import PendulumDRDataset
 from ..factory import build_pendulum_model
 from ..train.steps import make_train_step, make_infomax_step
-from ..train.loop import train_epoch, format_epoch
+from ..train.loop import train_epoch, format_epoch, run_scanned_chunks
 from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
@@ -85,17 +85,33 @@ def main(argv=None):
 
     shuffle_rng = np.random.default_rng(config["seed"])
     os.makedirs(config["assets_dir"], exist_ok=True)
-    for epoch in range(config["epochs"]):
-        state, metrics = train_epoch(
-            step, state, x_data, y_data, config["batch_size"], k_train,
-            epoch, shuffle_rng, drop_remainder=mesh is not None)
+    viz_fwd = jax.jit(lambda p, x, r: model(p, x, rng=r).xhat)
+
+    def on_epoch(epoch, metrics):
         print(format_epoch(epoch, metrics))
         logger.log(metrics, step=epoch)
+
+    def post_epoch(state, epoch):
         if epoch % 10 == 0:
-            out = model(state[0], x_data[:9],
-                        rng=jax.random.fold_in(k_train, 2**31))
-            viz_recon_grid(np.asarray(out.xhat),
+            xhat = viz_fwd(state[0], x_data[:9],
+                           jax.random.fold_in(k_train, 2**31))
+            viz_recon_grid(np.asarray(xhat),
                            f"{config['assets_dir']}/tmp_image_{epoch}.png")
+
+    if config["model"] != "InfoMax" and mesh is None:
+        raw = make_train_step(model, optimizer, config["beta"],
+                              config["lambda"], jit=False)
+        state = run_scanned_chunks(
+            raw, state, x_data, y_data, k_train,
+            epochs=config["epochs"], batch_size=config["batch_size"],
+            on_epoch=on_epoch, post_epoch=post_epoch)
+    else:
+        for epoch in range(config["epochs"]):
+            state, metrics = train_epoch(
+                step, state, x_data, y_data, config["batch_size"], k_train,
+                epoch, shuffle_rng, drop_remainder=mesh is not None)
+            on_epoch(epoch, metrics)
+            post_epoch(state, epoch)
 
     ckpt = os.path.join(config["assets_dir"],
                         f"model_DR_{config['model']}_{config['scm']}")

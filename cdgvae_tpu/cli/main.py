@@ -17,7 +17,7 @@ from ..data.pendulum import PendulumDataset
 from ..factory import build_pendulum_model
 from ..train.steps import make_train_step, make_infomax_step
 from ..train.loop import train_epoch, format_epoch
-from ..train.scanned import make_scanned_epochs, unjitted_step
+from ..train.loop import run_scanned_chunks  # noqa: F401 (re-exported)
 from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
@@ -154,6 +154,10 @@ def main(argv=None):
             viz_recon_grid(np.asarray(out.xhat[:9]),
                            f"{config['assets_dir']}/tmp_image_{epoch}.png")
 
+    def _on_epoch(epoch, metrics):
+        print(format_epoch(epoch, metrics))
+        logger.log(metrics, step=epoch)
+
     if config["model"] != "InfoMax" and mesh is None:
         # scan-compiled trainer: one device dispatch per 5-epoch chunk
         # (the reference protocol dispatches per batch — ~5800 host round
@@ -161,30 +165,13 @@ def main(argv=None):
         # keeps the 10-epoch viz and 25-epoch checkpoint cadences on chunk
         # boundaries. The remainder batch of each epoch is dropped (fixed
         # shapes under scan; <2% of steps at the reference sizes).
-        raw = unjitted_step(model, optimizer, config["beta"],
-                            config["lambda"])
-        chunk = min(5, config["epochs"] - start_epoch)
-        run = make_scanned_epochs(raw, batch_size=config["batch_size"],
-                                  n_epochs_per_call=chunk)
-        epoch = start_epoch
-        while epoch < config["epochs"]:
-            n_call = min(5, config["epochs"] - epoch)
-            if n_call != chunk:
-                chunk = n_call
-                run = make_scanned_epochs(
-                    raw, batch_size=config["batch_size"],
-                    n_epochs_per_call=n_call)
-            p, o = state
-            p, o, ms = run(p, o, x_data, y_data, k_train, epoch)
-            state = (p, o)
-            ms = {k: np.asarray(v) for k, v in ms.items()}
-            for i in range(n_call):
-                metrics = {k: float(v[i]) for k, v in ms.items()}
-                print(format_epoch(epoch + i, metrics))
-                logger.log(metrics, step=epoch + i)
-            for i in range(n_call):
-                _post_epoch(state, epoch + i)
-            epoch += n_call
+        raw = make_train_step(model, optimizer, config["beta"],
+                              config["lambda"], jit=False)
+        state = run_scanned_chunks(
+            raw, state, x_data, y_data, k_train,
+            epochs=config["epochs"], start_epoch=start_epoch,
+            batch_size=config["batch_size"], chunk=5,
+            on_epoch=_on_epoch, post_epoch=_post_epoch)
     else:
         for epoch in range(start_epoch, config["epochs"]):
             state, metrics = train_epoch(

@@ -13,7 +13,7 @@ import optax
 from ..data.tabular.datasets import load_tabular_tvae, DATASET_SPECS
 from ..factory import build_tabular_model, tvae_block_mask
 from ..train.tabular_steps import make_tvae_step
-from ..train.loop import train_epoch, format_epoch
+from ..train.loop import train_epoch, format_epoch, run_scanned_chunks
 from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
@@ -88,12 +88,26 @@ def main(argv=None):
 
     shuffle_rng = np.random.default_rng(config["seed"])
     os.makedirs(config["assets_dir"], exist_ok=True)
-    for epoch in range(config["epochs"]):
-        state, metrics = train_epoch(
-            step, state, x_data, y_data, config["batch_size"], k_train,
-            epoch, shuffle_rng, drop_remainder=mesh is not None)
+
+    def on_epoch(epoch, metrics):
         print(format_epoch(epoch, metrics))
         logger.log(metrics, step=epoch)
+
+    if mesh is None:
+        raw = make_tvae_step(model, optimizer, config["lambda"],
+                             data.transformer.output_info_list,
+                             sigma_range=tuple(config["sigma_range"]),
+                             jit=False)
+        state = run_scanned_chunks(
+            raw, state, x_data, y_data, k_train,
+            epochs=config["epochs"], batch_size=config["batch_size"],
+            chunk=25, on_epoch=on_epoch)
+    else:
+        for epoch in range(config["epochs"]):
+            state, metrics = train_epoch(
+                step, state, x_data, y_data, config["batch_size"], k_train,
+                epoch, shuffle_rng, drop_remainder=mesh is not None)
+            on_epoch(epoch, metrics)
 
     ckpt = os.path.join(
         config["assets_dir"],

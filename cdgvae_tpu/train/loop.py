@@ -85,3 +85,43 @@ def format_epoch(epoch: int, metrics: dict) -> str:
     """The reference's console line format (main.py:206-208)."""
     body = "".join(f", {k}: {v:.4f}" for k, v in metrics.items())
     return f"[epoch {epoch + 1:03d}]{body}"
+
+
+def run_scanned_chunks(raw_step: Callable, state: tuple, x, y, rng,
+                       *, epochs: int, batch_size: int, start_epoch: int = 0,
+                       chunk: int = 5, on_epoch: Callable | None = None,
+                       post_epoch: Callable | None = None) -> tuple:
+    """Drive training with the scan-compiled trainer in ``chunk``-epoch
+    dispatches (train/scanned.py) — the shared fast path for every
+    supervised family (pendulum/DR/tabular/TVAE/celeba).
+
+    raw_step: UNJITTED (params, opt_state, x, y, rng) -> (params, opt_state,
+    metrics) step. ``on_epoch(epoch, metrics_dict)`` is called per epoch with
+    host floats; ``post_epoch(state, epoch)`` after each epoch's metrics
+    (checkpoints/viz — note state is end-of-chunk state for mid-chunk
+    epochs). Returns the final (params, opt_state).
+    """
+    from .scanned import make_scanned_epochs
+
+    chunk0 = min(chunk, epochs - start_epoch)
+    run = make_scanned_epochs(raw_step, batch_size=batch_size,
+                              n_epochs_per_call=chunk0)
+    epoch = start_epoch
+    while epoch < epochs:
+        n_call = min(chunk, epochs - epoch)
+        if n_call != chunk0:
+            chunk0 = n_call
+            run = make_scanned_epochs(raw_step, batch_size=batch_size,
+                                      n_epochs_per_call=n_call)
+        p, o = state
+        p, o, ms = run(p, o, x, y, rng, epoch)
+        state = (p, o)
+        ms = {k: np.asarray(v) for k, v in ms.items()}
+        for i in range(n_call):
+            if on_epoch is not None:
+                on_epoch(epoch + i, {k: float(v[i]) for k, v in ms.items()})
+        if post_epoch is not None:
+            for i in range(n_call):
+                post_epoch(state, epoch + i)
+        epoch += n_call
+    return state

@@ -52,12 +52,14 @@ def _metrics(loss, recon, kl, align, logvar, node, extra=None):
 
 def make_train_step(model, optimizer: optax.GradientTransformation,
                     beta: float, lam: float, mesh=None,
-                    donate: bool = True, compute_dtype=None) -> Callable:
+                    donate: bool = True, compute_dtype=None,
+                    jit: bool = True) -> Callable:
     """Supervised VAE/CDG-VAE step (reference train_VAE / train_CDGVAE,
     modules/train.py:10-69, :150-209).
 
     Returns step(params, opt_state, x, y, rng) ->
-        (params, opt_state, metrics).
+        (params, opt_state, metrics). ``jit=False`` returns the raw step for
+    use inside the scan-compiled trainer (train/scanned.py).
     """
     node = model.node
 
@@ -76,6 +78,8 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
+    if not jit:
+        return step
     return _jit_step(step, mesh, donate, n_batch_args=2)
 
 

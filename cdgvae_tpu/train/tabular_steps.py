@@ -55,7 +55,8 @@ def make_recon_fn(dataset: str, flatten_topology: Sequence[int]) -> Callable:
 
 def make_tabular_step(model, optimizer: optax.GradientTransformation,
                       beta: float, lam: float, recon_fn: Callable,
-                      mesh=None, donate: bool = True) -> Callable:
+                      mesh=None, donate: bool = True,
+                      jit: bool = True) -> Callable:
     """Supervised tabular VAE/CDG-VAE step (train.py:11-243). Alignment uses
     ALL label columns (tabular labels have exactly node columns)."""
     node = model.node
@@ -75,6 +76,8 @@ def make_tabular_step(model, optimizer: optax.GradientTransformation,
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
+    if not jit:
+        return step
     return _jit_step(step, mesh, donate, n_batch_args=2)
 
 
@@ -129,7 +132,7 @@ def flatten_spans(output_info_list):
 def make_tvae_step(model, optimizer: optax.GradientTransformation,
                    lam: float, output_info_list,
                    sigma_range=(0.01, 0.1), mesh=None,
-                   donate: bool = True) -> Callable:
+                   donate: bool = True, jit: bool = True) -> Callable:
     """CDG-TVAE step (train.py:245-320): span-walking recon, KL weight 1,
     post-update sigma clamp."""
     node = model.node
@@ -165,4 +168,6 @@ def make_tvae_step(model, optimizer: optax.GradientTransformation,
             params["sigma"], sigma_range[0], sigma_range[1]))
         return params, opt_state, metrics
 
+    if not jit:
+        return step
     return _jit_step(step, mesh, donate, n_batch_args=2)
