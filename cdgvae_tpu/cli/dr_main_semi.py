@@ -13,7 +13,8 @@ import optax
 from ..data.pendulum_dr import PendulumDRDataset
 from ..factory import build_pendulum_model
 from ..train.steps import make_semi_step
-from ..train.loop import train_epoch_semi, format_epoch
+from ..train.loop import train_epoch_semi, format_epoch  # noqa: F401
+from ..train.scanned import make_scanned_epochs_semi
 from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
@@ -76,12 +77,29 @@ def main(argv=None):
 
     shuffle_rng = np.random.default_rng(config["seed"])
     os.makedirs(config["assets_dir"], exist_ok=True)
-    for epoch in range(config["epochs"]):
-        state, metrics = train_epoch_semi(
-            step, state, x_u, x_l, y_l, config["batch_size"],
-            config["batch_sizeL"], k_train, epoch, shuffle_rng)
-        print(format_epoch(epoch, metrics))
-        logger.log(metrics, step=epoch)
+    raw = make_semi_step(model, optimizer, config["beta"],
+                         config["lambda"], jit=False)
+    chunk = min(10, config["epochs"])
+    run = make_scanned_epochs_semi(raw, config["batch_size"],
+                                   config["batch_sizeL"],
+                                   n_epochs_per_call=chunk)
+    epoch = 0
+    while epoch < config["epochs"]:
+        n_call = min(10, config["epochs"] - epoch)
+        if n_call != chunk:
+            chunk = n_call
+            run = make_scanned_epochs_semi(raw, config["batch_size"],
+                                           config["batch_sizeL"],
+                                           n_epochs_per_call=n_call)
+        p, o = state
+        p, o, ms = run(p, o, x_u, x_l, y_l, k_train, epoch)
+        state = (p, o)
+        ms = {k: np.asarray(v) for k, v in ms.items()}
+        for i in range(n_call):
+            metrics = {k: float(v[i]) for k, v in ms.items()}
+            print(format_epoch(epoch + i, metrics))
+            logger.log(metrics, step=epoch + i)
+        epoch += n_call
 
     ckpt = os.path.join(config["assets_dir"],
                         f"model_DR_{config['model']}_{config['scm']}")

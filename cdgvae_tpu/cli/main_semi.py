@@ -14,7 +14,8 @@ import optax
 from ..data.pendulum import PendulumDataset
 from ..factory import build_pendulum_model
 from ..train.steps import make_semi_step
-from ..train.loop import train_epoch_semi, format_epoch
+from ..train.loop import train_epoch_semi, format_epoch  # noqa: F401
+from ..train.scanned import make_scanned_epochs_semi
 from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
@@ -80,15 +81,34 @@ def main(argv=None):
 
     shuffle_rng = np.random.default_rng(config["seed"])
     os.makedirs(config["assets_dir"], exist_ok=True)
-    for epoch in range(config["epochs"]):
-        state, metrics = train_epoch_semi(
-            step, state, x_u, x_l, y_l, config["batch_size"],
-            config["batch_sizeL"], k_train, epoch, shuffle_rng)
-        print(format_epoch(epoch, metrics))
-        logger.log(metrics, step=epoch)
+    raw = make_semi_step(model, optimizer, config["beta"],
+                         config["lambda"], jit=False)
+    run = make_scanned_epochs_semi(raw, config["batch_size"],
+                                   config["batch_sizeL"],
+                                   n_epochs_per_call=min(
+                                       10, config["epochs"]))
+    epoch = 0
+    chunk = min(10, config["epochs"])
+    while epoch < config["epochs"]:
+        n_call = min(10, config["epochs"] - epoch)
+        if n_call != chunk:
+            chunk = n_call
+            run = make_scanned_epochs_semi(raw, config["batch_size"],
+                                           config["batch_sizeL"],
+                                           n_epochs_per_call=n_call)
+        p, o = state
+        p, o, ms = run(p, o, x_u, x_l, y_l, k_train, epoch)
+        state = (p, o)
+        ms = {k: np.asarray(v) for k, v in ms.items()}
+        for i in range(n_call):
+            metrics = {k: float(v[i]) for k, v in ms.items()}
+            print(format_epoch(epoch + i, metrics))
+            logger.log(metrics, step=epoch + i)
+        epoch += n_call
 
-    out = model(state[0], x_u[:9], rng=jax.random.fold_in(k_train, 2**31))
-    viz_recon_grid(np.asarray(out.xhat), f"{config['assets_dir']}/recon.png")
+    viz = jax.jit(lambda p, x, r: model(p, x, rng=r).xhat)
+    xhat = viz(state[0], x_u[:9], jax.random.fold_in(k_train, 2**31))
+    viz_recon_grid(np.asarray(xhat), f"{config['assets_dir']}/recon.png")
 
     ckpt = os.path.join(config["assets_dir"],
                         f"model_{config['model']}_{config['scm']}")

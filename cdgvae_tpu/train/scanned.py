@@ -63,6 +63,59 @@ def make_scanned_epochs(step_fn: Callable, batch_size: int,
     return run
 
 
+def make_scanned_epochs_semi(step_fn: Callable, batch_size: int,
+                             batch_size_l: int,
+                             n_epochs_per_call: int = 1) -> Callable:
+    """Semi-supervised scanned trainer: the unlabeled stream drives the
+    epoch; the labeled stream cycles with reshuffle-on-exhaustion like the
+    reference's ``next(iter_dataloaderL)`` restart (modules/train.py:225-231,
+    reset per epoch). One device dispatch per ``n_epochs_per_call`` epochs.
+
+    step_fn: raw (params, opt_state, x_u, x_l, y_l, rng) step.
+    Returns run(params, opt_state, x_u, x_l, y_l, rng, epoch0).
+    """
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def run(params, opt_state, x_u, x_l, y_l, rng, epoch0):
+        n_u, n_l = x_u.shape[0], x_l.shape[0]
+        steps = n_u // batch_size
+        need = steps * batch_size_l
+        k_perms = -(-need // n_l)  # ceil: how many labeled reshuffles
+
+        def epoch_body(carry, epoch_idx):
+            params, opt_state = carry
+            ekey = jax.random.fold_in(rng, epoch0 + epoch_idx)
+            perm_u = jax.random.permutation(ekey, n_u)[: steps * batch_size]
+            xb_u = x_u[perm_u].reshape(steps, batch_size, *x_u.shape[1:])
+            lkey = jax.random.fold_in(ekey, 2**20)
+            perm_l = jnp.concatenate(
+                [jax.random.permutation(jax.random.fold_in(lkey, k), n_l)
+                 for k in range(k_perms)])[:need]
+            xb_l = x_l[perm_l].reshape(steps, batch_size_l, *x_l.shape[1:])
+            yb_l = y_l[perm_l].reshape(steps, batch_size_l, *y_l.shape[1:])
+
+            def step_body(carry, inp):
+                params, opt_state = carry
+                xu, xl, yl, bi = inp
+                skey = jax.random.fold_in(ekey, bi)
+                params, opt_state, metrics = step_fn(
+                    params, opt_state, xu, xl, yl, skey)
+                return (params, opt_state), metrics
+
+            (params, opt_state), metrics = jax.lax.scan(
+                step_body, (params, opt_state),
+                (xb_u, xb_l, yb_l, jnp.arange(steps)))
+            return (params, opt_state), jax.tree.map(lambda m: m.mean(),
+                                                     metrics)
+
+        (params, opt_state), metrics = jax.lax.scan(
+            epoch_body, (params, opt_state),
+            jnp.arange(n_epochs_per_call))
+        return params, opt_state, metrics
+
+    return run
+
+
 def unjitted_step(model, optimizer, beta: float, lam: float,
                   compute_dtype=None) -> Callable:
     """The raw (unjitted) supervised step for use inside scans — same math

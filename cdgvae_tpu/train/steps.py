@@ -132,7 +132,7 @@ def make_infomax_step(model, discriminator,
 
 def make_semi_step(model, optimizer: optax.GradientTransformation,
                    beta: float, lam: float, mesh=None,
-                   donate: bool = True) -> Callable:
+                   donate: bool = True, jit: bool = True) -> Callable:
     """Semi-supervised step: ELBO on an unlabeled batch + alignment on a
     separate labeled batch (reference train_CDGVAE_semi,
     modules/train.py:211-282).
@@ -159,6 +159,8 @@ def make_semi_step(model, optimizer: optax.GradientTransformation,
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
+    if not jit:
+        return step
     return _jit_step(step, mesh, donate, n_batch_args=3)
 
 

@@ -34,3 +34,34 @@ def test_scanned_epochs_run_and_learn():
     assert float(np.asarray(m2["loss"])[-1]) < float(losses[0])
     # metric keys identical to the dispatched step
     assert {"loss", "recon", "KL", "alignment"}.issubset(m2.keys())
+
+
+def test_scanned_semi_runs_and_improves():
+    """Semi-supervised scanned trainer: labeled stream cycles correctly
+    (n_l < steps*batch_sizeL forces multiple reshuffles) and loss drops."""
+    import optax
+    from cdgvae_tpu.factory import build_pendulum_model
+    from cdgvae_tpu.train.steps import make_semi_step
+    from cdgvae_tpu.train.scanned import make_scanned_epochs_semi
+
+    cfg = dict(model="CDGVAE", node=4, scm="linear", flow_num=1,
+               inverse_loop=100, factor=[1, 1, 2], image_size=64,
+               adjacency_scaling=True)
+    model, _ = build_pendulum_model(cfg)
+    params = model.init(jax.random.key(0))
+    opt = optax.adam(1e-3)
+    rng = np.random.default_rng(0)
+    x_u = jnp.asarray(np.tanh(rng.normal(size=(64, 64, 64, 3))),
+                      jnp.float32)
+    x_l = x_u[:10]
+    y_l = jnp.asarray(rng.uniform(size=(10, 5)), jnp.float32)
+
+    raw = make_semi_step(model, opt, beta=0.1, lam=5.0, jit=False)
+    run = make_scanned_epochs_semi(raw, batch_size=16, batch_size_l=8,
+                                   n_epochs_per_call=3)
+    p, o, ms = run(params, opt.init(params), x_u, x_l, y_l,
+                   jax.random.key(1), 0)
+    losses = np.asarray(ms["loss"])
+    assert losses.shape == (3,)
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
