@@ -15,7 +15,8 @@ import optax
 
 from ..data.pendulum import PendulumDataset
 from ..factory import build_pendulum_model
-from ..train.steps import make_train_step, make_infomax_step
+from ..train.steps import (make_train_step, make_infomax_step,
+                           pair_infomax_step)
 from ..train.loop import train_epoch, format_epoch
 from ..train.loop import run_scanned_chunks  # noqa: F401 (re-exported)
 from ..utils.simulation import set_random_seed
@@ -172,6 +173,20 @@ def main(argv=None):
             epochs=config["epochs"], start_epoch=start_epoch,
             batch_size=config["batch_size"], chunk=5,
             on_epoch=_on_epoch, post_epoch=_post_epoch)
+    elif config["model"] == "InfoMax" and mesh is None:
+        # InfoMax under the same scanned trainer: (model, discriminator)
+        # params/opt states ride as pairs
+        raw = pair_infomax_step(make_infomax_step(
+            model, discriminator, optimizer, optimizer_d, config["beta"],
+            config["lambda"], config["gamma"], jit=False))
+        pair = ((state[0], state[1]), (state[2], state[3]))
+        pair = run_scanned_chunks(
+            raw, pair, x_data, y_data, k_train,
+            epochs=config["epochs"], start_epoch=start_epoch,
+            batch_size=config["batch_size"], chunk=5,
+            on_epoch=_on_epoch,
+            post_epoch=lambda s, e: _post_epoch((s[0][0], s[1][0]), e))
+        state = (pair[0][0], pair[0][1], pair[1][0], pair[1][1])
     else:
         for epoch in range(start_epoch, config["epochs"]):
             state, metrics = train_epoch(

@@ -87,7 +87,8 @@ def make_infomax_step(model, discriminator,
                       optimizer: optax.GradientTransformation,
                       optimizer_d: optax.GradientTransformation,
                       beta: float, lam: float, gamma: float,
-                      mesh=None, donate: bool = True) -> Callable:
+                      mesh=None, donate: bool = True,
+                      jit: bool = True) -> Callable:
     """InfoMax step (reference train_InfoMax, modules/train.py:71-148).
 
     Faithfully reproduces the reference's double-backward gradient flow:
@@ -127,7 +128,22 @@ def make_infomax_step(model, discriminator,
         d_params = optax.apply_updates(d_params, updates_d)
         return params, d_params, opt_state, opt_state_d, metrics
 
+    if not jit:
+        return step
     return _jit_step(step, mesh, donate, n_batch_args=2, n_state_args=4)
+
+
+def pair_infomax_step(raw_infomax: Callable) -> Callable:
+    """Adapt a raw 4-state InfoMax step to the (params, opt_state) pairing
+    the scanned trainer expects: params := (model, discriminator) params,
+    opt_state := (model, discriminator) optimizer states."""
+
+    def step(pair_params, pair_opt, x, y, rng):
+        (p, d), (op, od) = pair_params, pair_opt
+        p, d, op, od, metrics = raw_infomax(p, d, op, od, x, y, rng)
+        return (p, d), (op, od), metrics
+
+    return step
 
 
 def make_semi_step(model, optimizer: optax.GradientTransformation,
