@@ -18,7 +18,7 @@ from ..models.celeba import CelebACDGVAE, celeba_B
 from ..ops.causal import CausalGraph
 from ..train.celeba_steps import make_celeba_step, celeba_unjitted_step
 from ..train.loop import train_epoch, format_epoch
-from ..train.scanned import make_scanned_epochs
+from ..train.loop import run_scanned_chunks
 from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
@@ -95,41 +95,33 @@ def main(argv=None):
     state = (params, optimizer.init(params))
 
     os.makedirs(config["assets_dir"], exist_ok=True)
-    if mesh is None:
+    # jit the recon viz: the SAGAN forward is hundreds of ops — run
+    # eagerly, each would be its own device dispatch
+    n_viz = min(9, len(x_data))
+    viz_fwd = jax.jit(lambda p, x, r: model(p, x, rng=r).xhat)
+
+    def on_epoch(epoch, metrics):
+        print(format_epoch(epoch, metrics))
+        logger.log(metrics, step=epoch)
+
+    def post_epoch(state, epoch):
+        xhat = viz_fwd(state[0], x_data[:n_viz],
+                       jax.random.fold_in(k_train, 2**31))
+        viz_recon_grid(np.asarray(xhat),
+                       f"{config['assets_dir']}/tmp_image_{epoch}.png",
+                       n=n_viz)
+
+    if mesh is None and not config["eager"]:
         # dataset is device-resident -> scan-compile whole epoch chunks
         # (one dispatch per <=10 epochs; drop_last matches the reference,
-        # celeba/main.py:70-72)
+        # celeba/main.py:70-72); recon viz at every chunk boundary
         raw = celeba_unjitted_step(model, optimizer, config["beta"],
                                    config["lambda"],
                                    compute_dtype=compute_dtype)
-        run = make_scanned_epochs(raw, batch_size=config["batch_size"],
-                                  n_epochs_per_call=min(10,
-                                                        config["epochs"]))
-        # jit the recon viz: the SAGAN forward is hundreds of ops — run
-        # eagerly, each would be its own device dispatch
-        n_viz = min(9, len(x_data))
-        viz_fwd = jax.jit(lambda p, x, r: model(p, x, rng=r).xhat)
-        epoch = 0
-        while epoch < config["epochs"]:
-            n_call = min(10, config["epochs"] - epoch)
-            if n_call != min(10, config["epochs"]):
-                run = make_scanned_epochs(raw,
-                                          batch_size=config["batch_size"],
-                                          n_epochs_per_call=n_call)
-            p, o = state
-            p, o, ms = run(p, o, x_data, y_data, k_train, epoch)
-            state = (p, o)
-            ms = {k: np.asarray(v) for k, v in ms.items()}
-            for i in range(n_call):
-                metrics = {k: float(v[i]) for k, v in ms.items()}
-                print(format_epoch(epoch + i, metrics))
-                logger.log(metrics, step=epoch + i)
-            epoch += n_call
-            xhat = viz_fwd(state[0], x_data[:n_viz],
-                           jax.random.fold_in(k_train, 2**31))
-            viz_recon_grid(np.asarray(xhat),
-                           f"{config['assets_dir']}/tmp_image_{epoch - 1}"
-                           ".png", n=n_viz)
+        state = run_scanned_chunks(
+            raw, state, x_data, y_data, k_train,
+            epochs=config["epochs"], batch_size=config["batch_size"],
+            chunk=10, on_epoch=on_epoch, post_epoch=post_epoch)
     else:
         step = make_celeba_step(model, optimizer, config["beta"],
                                 config["lambda"], mesh=mesh,
@@ -139,15 +131,9 @@ def main(argv=None):
             state, metrics = train_epoch(
                 step, state, x_data, y_data, config["batch_size"], k_train,
                 epoch, shuffle_rng, drop_remainder=True)
-            print(format_epoch(epoch, metrics))
-            logger.log(metrics, step=epoch)
+            on_epoch(epoch, metrics)
             if epoch % 10 == 0:
-                n = min(9, len(x_data))
-                out = model(state[0], x_data[:n],
-                            rng=jax.random.fold_in(k_train, 2**31))
-                viz_recon_grid(np.asarray(out.xhat),
-                               f"{config['assets_dir']}/tmp_image_{epoch}"
-                               ".png", n=n)
+                post_epoch(state, epoch)
 
     ckpt = os.path.join(config["assets_dir"],
                         f"celeba_{config['model']}_{config['scm']}")

@@ -36,6 +36,11 @@ def add_infra_args(parser: argparse.ArgumentParser):
     parser.add_argument("--n_samples", default=10000, type=int,
                         help="DGP sample count for the synthetic datasets "
                              "(10000 = reference; smaller for smoke tests)")
+    parser.add_argument("--eager", action="store_true",
+                        help="per-batch eager epoch driver instead of the "
+                             "scan-compiled trainer (the reference's exact "
+                             "protocol incl. partial final batches; much "
+                             "slower: one dispatch per batch)")
     return parser
 
 

@@ -98,13 +98,15 @@ def main(argv=None):
             viz_recon_grid(np.asarray(xhat),
                            f"{config['assets_dir']}/tmp_image_{epoch}.png")
 
-    if config["model"] != "InfoMax" and mesh is None:
+    if config["model"] != "InfoMax" and mesh is None \
+            and not config["eager"]:
         raw = make_train_step(model, optimizer, config["beta"],
                               config["lambda"], jit=False)
         state = run_scanned_chunks(
             raw, state, x_data, y_data, k_train,
             epochs=config["epochs"], batch_size=config["batch_size"],
-            on_epoch=on_epoch, post_epoch=post_epoch)
+            on_epoch=on_epoch, post_epoch=post_epoch,
+            post_epoch_pred=lambda e: e % 10 == 0)
     else:
         for epoch in range(config["epochs"]):
             state, metrics = train_epoch(

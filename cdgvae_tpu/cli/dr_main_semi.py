@@ -13,7 +13,8 @@ import optax
 from ..data.pendulum_dr import PendulumDRDataset
 from ..factory import build_pendulum_model
 from ..train.steps import make_semi_step
-from ..train.loop import train_epoch_semi, format_epoch  # noqa: F401
+from ..train.loop import (train_epoch_semi, format_epoch,
+                          run_scanned_chunks)
 from ..train.scanned import make_scanned_epochs_semi
 from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
@@ -72,34 +73,33 @@ def main(argv=None):
     params = model.init(k_model)
     optimizer = optax.adam(config["lr"])
     state = (params, optimizer.init(params))
-    step = make_semi_step(model, optimizer, config["beta"],
-                          config["lambda"])
 
-    shuffle_rng = np.random.default_rng(config["seed"])
     os.makedirs(config["assets_dir"], exist_ok=True)
-    raw = make_semi_step(model, optimizer, config["beta"],
-                         config["lambda"], jit=False)
-    chunk = min(10, config["epochs"])
-    run = make_scanned_epochs_semi(raw, config["batch_size"],
-                                   config["batch_sizeL"],
-                                   n_epochs_per_call=chunk)
-    epoch = 0
-    while epoch < config["epochs"]:
-        n_call = min(10, config["epochs"] - epoch)
-        if n_call != chunk:
-            chunk = n_call
-            run = make_scanned_epochs_semi(raw, config["batch_size"],
-                                           config["batch_sizeL"],
-                                           n_epochs_per_call=n_call)
-        p, o = state
-        p, o, ms = run(p, o, x_u, x_l, y_l, k_train, epoch)
-        state = (p, o)
-        ms = {k: np.asarray(v) for k, v in ms.items()}
-        for i in range(n_call):
-            metrics = {k: float(v[i]) for k, v in ms.items()}
-            print(format_epoch(epoch + i, metrics))
-            logger.log(metrics, step=epoch + i)
-        epoch += n_call
+
+    def on_epoch(epoch, metrics):
+        print(format_epoch(epoch, metrics))
+        logger.log(metrics, step=epoch)
+
+    if config["eager"]:
+        step = make_semi_step(model, optimizer, config["beta"],
+                              config["lambda"])
+        shuffle_rng = np.random.default_rng(config["seed"])
+        for epoch in range(config["epochs"]):
+            state, metrics = train_epoch_semi(
+                step, state, x_u, x_l, y_l, config["batch_size"],
+                config["batch_sizeL"], k_train, epoch, shuffle_rng)
+            on_epoch(epoch, metrics)
+    else:
+        raw = make_semi_step(model, optimizer, config["beta"],
+                             config["lambda"], jit=False)
+        bs = min(config["batch_size"], len(x_u))
+        bs_l = min(config["batch_sizeL"], len(x_l))
+        state = run_scanned_chunks(
+            raw, state, x_u, y_l, k_train,
+            epochs=config["epochs"], batch_size=bs, chunk=10,
+            on_epoch=on_epoch, batch_args=(x_u, x_l, y_l),
+            make_runner=lambda n: make_scanned_epochs_semi(
+                raw, bs, bs_l, n_epochs_per_call=n))
 
     ckpt = os.path.join(config["assets_dir"],
                         f"model_DR_{config['model']}_{config['scm']}")

@@ -75,14 +75,17 @@ def get_args(debug: bool = False, argv=None):
     return parser.parse_args(argv)
 
 
-def _viz_forward(model, params, x_data, batch_size, rng, _cache={}):
-    # jitted + cached per (model, shape): an eager forward is one tunnel
-    # round trip PER OP on this backend (docs/PERF.md)
-    n = min(batch_size, len(x_data))
-    key = (id(model), n)
-    if key not in _cache:
-        _cache[key] = jax.jit(lambda p, x, r: model(p, x, rng=r))
-    return _cache[key](params, x_data[:n], rng)
+def _make_viz_forward(model):
+    # jitted once: an eager forward is one tunnel round trip PER OP on this
+    # backend (docs/PERF.md); cache scoped to the caller so repeated main()
+    # invocations don't accumulate executables
+    fwd = jax.jit(lambda p, x, r: model(p, x, rng=r))
+
+    def viz(params, x_data, batch_size, rng):
+        n = min(batch_size, len(x_data))
+        return fwd(params, x_data[:n], rng)
+
+    return viz
 
 
 def main(argv=None):
@@ -137,21 +140,31 @@ def main(argv=None):
     shuffle_rng = np.random.default_rng(config["seed"] + start_epoch)
     os.makedirs(config["assets_dir"], exist_ok=True)
 
+    _viz = _make_viz_forward(model)
+
+    def _ckpt_due(epoch):
+        return (epoch + 1) % 25 == 0 and epoch + 1 < config["epochs"]
+
+    def _viz_due(epoch):
+        return epoch % 10 == 0
+
     def _post_epoch(state, epoch):
-        if (epoch + 1) % 25 == 0 and epoch + 1 < config["epochs"]:
+        # ``state`` here is always (model params, model opt state)
+        if _ckpt_due(epoch) and config["model"] != "InfoMax":
             # mid-run checkpoint (the reference saves only once at the end,
-            # main.py:233, with no resume path)
+            # main.py:233, with no resume path). InfoMax is excluded: its
+            # discriminator state is not checkpointed and --resume rejects
+            # it anyway.
             save_checkpoint(
                 os.path.join(config["assets_dir"],
                              f"model_{config['model']}_{config['scm']}"),
                 state[0], opt_state=state[-1], step=epoch + 1,
                 config=config)
-        if epoch % 10 == 0:
+        if _viz_due(epoch):
             # forward on a training-batch-sized slice: reuses the same
             # compiled shape every time (cold compiles are minutes here)
-            out = _viz_forward(model, state[0], x_data,
-                               config["batch_size"],
-                               jax.random.fold_in(k_train, 2**31))
+            out = _viz(state[0], x_data, config["batch_size"],
+                       jax.random.fold_in(k_train, 2**31))
             viz_recon_grid(np.asarray(out.xhat[:9]),
                            f"{config['assets_dir']}/tmp_image_{epoch}.png")
 
@@ -159,21 +172,25 @@ def main(argv=None):
         print(format_epoch(epoch, metrics))
         logger.log(metrics, step=epoch)
 
-    if config["model"] != "InfoMax" and mesh is None:
-        # scan-compiled trainer: one device dispatch per 5-epoch chunk
+    scanned_ok = mesh is None and not config["eager"]
+    pred = lambda e: _ckpt_due(e) or _viz_due(e)  # noqa: E731
+    if config["model"] != "InfoMax" and scanned_ok:
+        # scan-compiled trainer: one device dispatch per <=5-epoch chunk
         # (the reference protocol dispatches per batch — ~5800 host round
-        # trips for its 100-epoch run; this path does 20). Chunk size 5
-        # keeps the 10-epoch viz and 25-epoch checkpoint cadences on chunk
-        # boundaries. The remainder batch of each epoch is dropped (fixed
-        # shapes under scan; <2% of steps at the reference sizes).
+        # trips for its 100-epoch run). Chunks additionally split at every
+        # viz/checkpoint epoch so those artifacts are built from the EXACT
+        # post-epoch state. The remainder batch of each epoch is dropped
+        # (fixed shapes under scan; <2% of steps at the reference sizes;
+        # --eager restores the exact per-batch protocol).
         raw = make_train_step(model, optimizer, config["beta"],
                               config["lambda"], jit=False)
         state = run_scanned_chunks(
             raw, state, x_data, y_data, k_train,
             epochs=config["epochs"], start_epoch=start_epoch,
             batch_size=config["batch_size"], chunk=5,
-            on_epoch=_on_epoch, post_epoch=_post_epoch)
-    elif config["model"] == "InfoMax" and mesh is None:
+            on_epoch=_on_epoch, post_epoch=_post_epoch,
+            post_epoch_pred=pred)
+    elif config["model"] == "InfoMax" and scanned_ok:
         # InfoMax under the same scanned trainer: (model, discriminator)
         # params/opt states ride as pairs
         raw = pair_infomax_step(make_infomax_step(
@@ -185,7 +202,8 @@ def main(argv=None):
             epochs=config["epochs"], start_epoch=start_epoch,
             batch_size=config["batch_size"], chunk=5,
             on_epoch=_on_epoch,
-            post_epoch=lambda s, e: _post_epoch((s[0][0], s[1][0]), e))
+            post_epoch=lambda s, e: _post_epoch((s[0][0], s[1][0]), e),
+            post_epoch_pred=pred)
         state = (pair[0][0], pair[0][1], pair[1][0], pair[1][1])
     else:
         for epoch in range(start_epoch, config["epochs"]):
@@ -194,10 +212,11 @@ def main(argv=None):
                 epoch, shuffle_rng, drop_remainder=mesh is not None)
             print(format_epoch(epoch, metrics))
             logger.log(metrics, step=epoch)
-            _post_epoch(state, epoch)
+            _post_epoch((state[0], state[2])
+                        if config["model"] == "InfoMax" else state, epoch)
 
-    out = _viz_forward(model, state[0], x_data, config["batch_size"],
-                       jax.random.fold_in(k_train, 2**31))
+    out = _viz(state[0], x_data, config["batch_size"],
+               jax.random.fold_in(k_train, 2**31))
     viz_recon_grid(np.asarray(out.xhat), f"{config['assets_dir']}/recon.png")
     logger.log_image("reconstruction", f"{config['assets_dir']}/recon.png")
 

@@ -92,7 +92,8 @@ def main(argv=None):
         print(format_epoch(epoch, metrics))
         logger.log(metrics, step=epoch)
 
-    if config["model"] != "InfoMax" and mesh is None:
+    if config["model"] != "InfoMax" and mesh is None \
+            and not config["eager"]:
         raw = make_tabular_step(model, optimizer, config["beta"],
                                 config["lambda"], recon_fn, jit=False)
         state = run_scanned_chunks(

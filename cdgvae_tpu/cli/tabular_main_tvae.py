@@ -93,7 +93,7 @@ def main(argv=None):
         print(format_epoch(epoch, metrics))
         logger.log(metrics, step=epoch)
 
-    if mesh is None:
+    if mesh is None and not config["eager"]:
         raw = make_tvae_step(model, optimizer, config["lambda"],
                              data.transformer.output_info_list,
                              sigma_range=tuple(config["sigma_range"]),

@@ -90,38 +90,65 @@ def format_epoch(epoch: int, metrics: dict) -> str:
 def run_scanned_chunks(raw_step: Callable, state: tuple, x, y, rng,
                        *, epochs: int, batch_size: int, start_epoch: int = 0,
                        chunk: int = 5, on_epoch: Callable | None = None,
-                       post_epoch: Callable | None = None) -> tuple:
-    """Drive training with the scan-compiled trainer in ``chunk``-epoch
-    dispatches (train/scanned.py) — the shared fast path for every
-    supervised family (pendulum/DR/tabular/TVAE/celeba).
+                       post_epoch: Callable | None = None,
+                       post_epoch_pred: Callable | None = None,
+                       make_runner: Callable | None = None,
+                       batch_args: tuple | None = None) -> tuple:
+    """Drive training with the scan-compiled trainer in chunked dispatches
+    (train/scanned.py) — the shared fast path for every supervised family
+    (pendulum/DR/tabular/TVAE/celeba; semi via ``make_runner``).
 
-    raw_step: UNJITTED (params, opt_state, x, y, rng) -> (params, opt_state,
-    metrics) step. ``on_epoch(epoch, metrics_dict)`` is called per epoch with
-    host floats; ``post_epoch(state, epoch)`` after each epoch's metrics
-    (checkpoints/viz — note state is end-of-chunk state for mid-chunk
-    epochs). Returns the final (params, opt_state).
+    raw_step: UNJITTED (params, opt_state, *batch, rng) -> (params,
+    opt_state, metrics) step. ``on_epoch(epoch, metrics_dict)`` is called per
+    epoch with host floats. ``post_epoch(state, epoch)`` is called ONLY at
+    chunk boundaries, with the exact post-``epoch`` state; chunks are split
+    so every epoch where ``post_epoch_pred(epoch)`` is true ends a chunk
+    (defaults to every epoch being eligible only at natural chunk ends).
+    ``make_runner(n_epochs)`` overrides the runner construction (semi);
+    ``batch_args`` overrides the (x, y) data args passed to the runner.
+    Returns the final (params, opt_state).
+
+    NOTE: the state handed to ``post_epoch`` is donated into the next
+    chunk's dispatch — read/copy it inside the callback (save_checkpoint
+    and viz forwards do); do not retain device references.
     """
     from .scanned import make_scanned_epochs
 
-    chunk0 = min(chunk, epochs - start_epoch)
-    run = make_scanned_epochs(raw_step, batch_size=batch_size,
-                              n_epochs_per_call=chunk0)
+    if batch_args is None:
+        batch_args = (x, y)
+    n_data = len(batch_args[0])
+    if batch_size > n_data:
+        # smaller-than-batch datasets (smoke runs): one full-dataset step
+        # per epoch instead of a zero-step scan
+        batch_size = n_data
+    if make_runner is None:
+        def make_runner(n_epochs):
+            return make_scanned_epochs(raw_step, batch_size=batch_size,
+                                       n_epochs_per_call=n_epochs)
+
+    def _chunk_len(epoch):
+        n = min(chunk, epochs - epoch)
+        if post_epoch_pred is not None:
+            for i in range(n):
+                if post_epoch_pred(epoch + i):
+                    return i + 1
+        return n
+
+    runners = {}
     epoch = start_epoch
     while epoch < epochs:
-        n_call = min(chunk, epochs - epoch)
-        if n_call != chunk0:
-            chunk0 = n_call
-            run = make_scanned_epochs(raw_step, batch_size=batch_size,
-                                      n_epochs_per_call=n_call)
+        n_call = _chunk_len(epoch)
+        if n_call not in runners:
+            runners[n_call] = make_runner(n_call)
         p, o = state
-        p, o, ms = run(p, o, x, y, rng, epoch)
+        p, o, ms = runners[n_call](p, o, *batch_args, rng, epoch)
         state = (p, o)
         ms = {k: np.asarray(v) for k, v in ms.items()}
         for i in range(n_call):
             if on_epoch is not None:
                 on_epoch(epoch + i, {k: float(v[i]) for k, v in ms.items()})
-        if post_epoch is not None:
-            for i in range(n_call):
-                post_epoch(state, epoch + i)
         epoch += n_call
+        if post_epoch is not None:
+            # exact: state is the post-(epoch-1) state at a chunk boundary
+            post_epoch(state, epoch - 1)
     return state

@@ -33,6 +33,11 @@ def make_scanned_epochs(step_fn: Callable, batch_size: int,
     def run(params, opt_state, x, y, rng, epoch0):
         n = x.shape[0]
         steps = n // batch_size
+        if steps == 0:  # shapes are static: this raises at trace time
+            raise ValueError(
+                f"dataset ({n}) smaller than batch_size ({batch_size}); "
+                "clamp the batch size (run_scanned_chunks does) or use the "
+                "eager train_epoch driver")
 
         def epoch_body(carry, epoch_idx):
             params, opt_state = carry
@@ -67,9 +72,16 @@ def make_scanned_epochs_semi(step_fn: Callable, batch_size: int,
                              batch_size_l: int,
                              n_epochs_per_call: int = 1) -> Callable:
     """Semi-supervised scanned trainer: the unlabeled stream drives the
-    epoch; the labeled stream cycles with reshuffle-on-exhaustion like the
-    reference's ``next(iter_dataloaderL)`` restart (modules/train.py:225-231,
-    reset per epoch). One device dispatch per ``n_epochs_per_call`` epochs.
+    epoch; the labeled stream cycles with reshuffle-on-exhaustion in the
+    spirit of the reference's ``next(iter_dataloaderL)`` restart
+    (modules/train.py:225-231, reset per epoch). One device dispatch per
+    ``n_epochs_per_call`` epochs.
+
+    DEVIATIONS from the eager ``train_epoch_semi`` (fixed shapes under
+    scan): the final partial unlabeled batch is dropped, and labeled batches
+    are always exactly ``batch_size_l`` (the eager path can yield a short
+    batch at each cycle boundary). Use ``--eager`` / train_epoch_semi for
+    the reference's exact protocol.
 
     step_fn: raw (params, opt_state, x_u, x_l, y_l, rng) step.
     Returns run(params, opt_state, x_u, x_l, y_l, rng, epoch0).
@@ -79,6 +91,11 @@ def make_scanned_epochs_semi(step_fn: Callable, batch_size: int,
     def run(params, opt_state, x_u, x_l, y_l, rng, epoch0):
         n_u, n_l = x_u.shape[0], x_l.shape[0]
         steps = n_u // batch_size
+        if steps == 0 or n_l < batch_size_l:
+            raise ValueError(
+                f"streams too small (unlabeled {n_u} vs batch {batch_size}; "
+                f"labeled {n_l} vs batch {batch_size_l}); clamp the batch "
+                "sizes or use the eager train_epoch_semi driver")
         need = steps * batch_size_l
         k_perms = -(-need // n_l)  # ceil: how many labeled reshuffles
 

@@ -65,3 +65,63 @@ def test_scanned_semi_runs_and_improves():
     assert losses.shape == (3,)
     assert np.all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_scanned_raises_on_zero_steps():
+    """A dataset smaller than the batch must raise a clear error, not
+    silently train nothing / crash on empty concat (regression)."""
+    import pytest
+    model, _ = build_pendulum_model(CFG)
+    params = model.init(jax.random.key(0))
+    opt = optax.adam(1e-3)
+    x = jnp.zeros((4, 16, 16, 3))
+    y = jnp.zeros((4, 5))
+    run = make_scanned_epochs(unjitted_step(model, opt, 0.1, 5.0),
+                              batch_size=8)
+    with pytest.raises(ValueError, match="smaller than batch_size"):
+        run(params, opt.init(params), x, y, jax.random.key(1), 0)
+
+
+def test_run_scanned_chunks_clamps_small_dataset_and_exact_boundaries():
+    """run_scanned_chunks: (a) clamps batch_size to the dataset size
+    (smoke runs), (b) post_epoch fires at pred epochs with the EXACT
+    post-epoch state (regression: it used to hand out end-of-chunk state
+    for mid-chunk epochs)."""
+    from cdgvae_tpu.train.loop import run_scanned_chunks
+    from cdgvae_tpu.train.steps import make_train_step
+
+    model, _ = build_pendulum_model(CFG)
+    opt = optax.adam(1e-3)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.tanh(rng.normal(size=(10, 16, 16, 3))), jnp.float32)
+    y = jnp.asarray(rng.uniform(size=(10, 5)), jnp.float32)
+    raw = make_train_step(model, opt, 0.1, 5.0, jit=False)
+
+    # (a) batch 128 >> 10 samples: must still run (clamped to 10)
+    params = model.init(jax.random.key(0))
+    seen = {}
+    state = run_scanned_chunks(
+        raw, (params, opt.init(params)), x, y, jax.random.key(1),
+        epochs=7, batch_size=128, chunk=5,
+        post_epoch=lambda s, e: seen.setdefault(e, jax.device_get(s[0])),
+        post_epoch_pred=lambda e: e == 2)
+    # boundaries: pred splits at epoch 2, then natural ends 5-1? chunks are
+    # [0..2], [3..7) capped -> post_epoch at 2 and 6
+    assert set(seen) == {2, 6}
+
+    # (b) exactness: replay the same steps eagerly to epoch 2 and compare
+    import jax as _jax
+    p, o = model.init(jax.random.key(0)), None
+    o = opt.init(p)
+    for epoch in range(3):
+        ekey = _jax.random.fold_in(jax.random.key(1), epoch)
+        perm = _jax.random.permutation(ekey, 10)[:10]
+        xb, yb = x[perm], y[perm]
+        skey = _jax.random.fold_in(ekey, 0)
+        p, o, _ = raw(p, o, xb, yb, skey)
+    got = jax.tree_util.tree_leaves(seen[2])
+    want = jax.tree_util.tree_leaves(p)
+    for g, w in zip(got, want):
+        # scan vs eager compile differ by fp reassociation only
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-3, atol=1e-5)
