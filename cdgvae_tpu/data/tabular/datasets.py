@@ -115,7 +115,7 @@ def synthetic_adult(n: int = 45000, seed: int = 0) -> pd.DataFrame:
     rng = np.random.default_rng(seed)
     edu = rng.integers(1, 17, n).astype(float)
     gain = np.where(rng.uniform(size=n) < 0.88, 0.0,
-                    rng.lognormal(8.0, 1.0, n)).round()
+                    rng.lognormal(8.0, 1.0, n)).round().clip(0, 99999)
     loss = np.where(rng.uniform(size=n) < 0.95, 0.0,
                     rng.lognormal(7.3, 0.4, n)).round()
     hours = np.clip(rng.normal(40 + 0.5 * np.log1p(gain), 10, n),
@@ -203,7 +203,13 @@ def _bijection_labels(df01: pd.DataFrame, topology) -> np.ndarray:
                 np.concatenate([first, block[:, [2]]], axis=1)))
         else:
             raise ValueError("topology groups of size <=3 supported")
-    return np.concatenate(parts, axis=1)
+    # DEVIATION (stability): the reference's interleave_float overflows past
+    # 1 for max-valued rows (interleave(1.0, 1.0) = 1.1; 3-way nesting up to
+    # ~1.19). Targets > 1 make the alignment BCE unbounded BELOW
+    # (-(1-y)·log(1-σ) rewards σ→1 without limit), which measurably diverges
+    # training on heavy-tailed data (adult). Clamp to [0, 1]: only the
+    # handful of max rows change, and the loss is bounded again.
+    return np.clip(np.concatenate(parts, axis=1), 0.0, 1.0)
 
 
 def _slice(arr, sl):
