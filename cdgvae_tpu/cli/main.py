@@ -174,7 +174,7 @@ def main(argv=None):
 
     scanned_ok = mesh is None and not config["eager"]
     pred = lambda e: _ckpt_due(e) or _viz_due(e)  # noqa: E731
-    if config["model"] != "InfoMax" and scanned_ok:
+    if config["model"] != "InfoMax" and not config["eager"]:
         # scan-compiled trainer: one device dispatch per <=5-epoch chunk
         # (the reference protocol dispatches per batch — ~5800 host round
         # trips for its 100-epoch run). Chunks additionally split at every
@@ -184,12 +184,30 @@ def main(argv=None):
         # --eager restores the exact per-batch protocol).
         raw = make_train_step(model, optimizer, config["beta"],
                               config["lambda"], jit=False)
+        make_runner = None
+        xd, yd = x_data, y_data
+        if mesh is not None:
+            # multi-chip: shard the dataset over the dp axis and use the
+            # shard_map scanned trainer (per-shard shuffling, one gradient
+            # pmean per step over ICI)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..train.scanned import make_sharded_scanned_epochs
+            n_dev = mesh.devices.size
+            n = (len(x_data) // n_dev) * n_dev
+            sh = NamedSharding(mesh, P("dp"))
+            xd = jax.device_put(np.asarray(x_data[:n]), sh)
+            yd = jax.device_put(np.asarray(y_data[:n]), sh)
+
+            def make_runner(ne):
+                return make_sharded_scanned_epochs(
+                    model, optimizer, config["beta"], config["lambda"],
+                    mesh, config["batch_size"], n_epochs_per_call=ne)
         state = run_scanned_chunks(
-            raw, state, x_data, y_data, k_train,
+            raw, state, xd, yd, k_train,
             epochs=config["epochs"], start_epoch=start_epoch,
             batch_size=config["batch_size"], chunk=5,
             on_epoch=_on_epoch, post_epoch=_post_epoch,
-            post_epoch_pred=pred)
+            post_epoch_pred=pred, make_runner=make_runner)
     elif config["model"] == "InfoMax" and scanned_ok:
         # InfoMax under the same scanned trainer: (model, discriminator)
         # params/opt states ride as pairs

@@ -159,3 +159,102 @@ def unjitted_step(model, optimizer, beta: float, lam: float,
         return params, opt_state, metrics
 
     return step
+
+
+def make_sharded_scanned_epochs(model, optimizer, beta: float, lam: float,
+                                mesh, batch_size: int,
+                                n_epochs_per_call: int = 1) -> Callable:
+    """Multi-chip scanned trainer: whole epochs as ONE program over the
+    ``dp`` mesh via ``shard_map`` with explicit collectives.
+
+    Layout: params/opt state replicated; the dataset lives sharded over the
+    batch axis (each device holds n/D rows). Each device shuffles and
+    batches its OWN shard per epoch (standard data-parallel per-shard
+    shuffling — a documented deviation from global shuffling; no
+    cross-device gathers on the input side), computes local gradients, and
+    the only communication is one ``psum``-mean of gradients (and metrics)
+    per step over ICI. Global batch = ``batch_size`` (split D ways).
+
+    Returns run(params, opt_state, x_sharded, y_sharded, rng, epoch0).
+    """
+    import optax
+    from jax.sharding import PartitionSpec as P
+    from .steps import _metrics as build_metrics
+    from ..ops import losses
+
+    try:
+        from jax import shard_map as _shard_map
+
+        def shard_map(f, mesh, in_specs, out_specs):
+            return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs)
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _shard_map_old
+
+        def shard_map(f, mesh, in_specs, out_specs):
+            return _shard_map_old(f, mesh=mesh, in_specs=in_specs,
+                                  out_specs=out_specs)
+
+    n_dev = mesh.devices.size
+    if batch_size % n_dev:
+        raise ValueError(f"batch_size {batch_size} not divisible by "
+                         f"{n_dev} devices")
+    local_bs = batch_size // n_dev
+    node = model.node
+
+    def loss_fn(params, x, y, rng):
+        out = model(params, x, rng)
+        recon = losses.gaussian_recon(out.xhat, x)
+        kl = losses.kl_std_normal(out.mean, out.logvar)
+        align = losses.alignment_bce(out.align_latent, y[:, :node])
+        loss = recon + beta * kl + lam * align
+        return loss, build_metrics(loss, recon, kl, align, out.logvar, node)
+
+    def device_body(params, opt_state, x_loc, y_loc, rng, epoch0):
+        n_loc = x_loc.shape[0]
+        steps = n_loc // local_bs
+        if steps == 0:
+            raise ValueError(
+                f"local shard ({n_loc}) smaller than per-device batch "
+                f"({local_bs})")
+        dev = jax.lax.axis_index("dp")
+
+        def epoch_body(carry, epoch_idx):
+            params, opt_state = carry
+            ekey = jax.random.fold_in(
+                jax.random.fold_in(rng, epoch0 + epoch_idx), dev)
+            perm = jax.random.permutation(ekey, n_loc)[: steps * local_bs]
+            xb = x_loc[perm].reshape(steps, local_bs, *x_loc.shape[1:])
+            yb = y_loc[perm].reshape(steps, local_bs, *y_loc.shape[1:])
+
+            def step_body(carry, inp):
+                params, opt_state = carry
+                xi, yi, bi = inp
+                skey = jax.random.fold_in(ekey, bi)
+                (_, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, xi, yi, skey)
+                # THE collective: gradient (+metric) mean over ICI
+                grads = jax.lax.pmean(grads, "dp")
+                metrics = jax.lax.pmean(metrics, "dp")
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            (params, opt_state), metrics = jax.lax.scan(
+                step_body, (params, opt_state),
+                (xb, yb, jnp.arange(steps)))
+            return (params, opt_state), jax.tree.map(lambda m: m.mean(),
+                                                     metrics)
+
+        (params, opt_state), metrics = jax.lax.scan(
+            epoch_body, (params, opt_state),
+            jnp.arange(n_epochs_per_call))
+        return params, opt_state, metrics
+
+    rep = P()
+    sharded = P("dp")
+    body = shard_map(device_body, mesh,
+                     in_specs=(rep, rep, sharded, sharded, rep, rep),
+                     out_specs=(rep, rep, rep))
+    return jax.jit(body, donate_argnums=(0, 1))

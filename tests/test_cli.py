@@ -162,3 +162,15 @@ def test_main_resume(workdir, pendulum_ckpt):
                                       "config.json")))
     assert cfg["epochs"] == 3
     assert state is not None
+
+
+def test_main_dp_mesh_scanned(workdir):
+    """--dp 8 routes through the shard_map scanned trainer (per-shard
+    shuffle + per-step gradient pmean) and writes a working checkpoint."""
+    from cdgvae_tpu.cli import main
+    out = os.path.join(workdir, "dp")
+    main.main(SMALL + ["--model", "CDGVAE", "--epochs", "2",
+                       "--batch_size", "16", "--dp", "8",
+                       "--assets_dir", out])
+    assert os.path.exists(os.path.join(out, "model_CDGVAE_linear",
+                                       "state.pkl"))
