@@ -43,8 +43,10 @@ def make_scanned_epochs(step_fn: Callable, batch_size: int,
             params, opt_state = carry
             ekey = jax.random.fold_in(rng, epoch0 + epoch_idx)
             perm = jax.random.permutation(ekey, n)[: steps * batch_size]
-            xb = x[perm].reshape(steps, batch_size, *x.shape[1:])
-            yb = y[perm].reshape(steps, batch_size, *y.shape[1:])
+            # 2-D index gather: produces [steps, batch, ...] directly (one
+            # gather, no separate reshape/layout pass over the dataset)
+            perm = perm.reshape(steps, batch_size)
+            xb, yb = x[perm], y[perm]
 
             def step_body(carry, inp):
                 params, opt_state = carry

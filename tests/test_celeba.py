@@ -207,3 +207,21 @@ def test_celeba_bf16_step_keeps_f32_state():
                    for l in jax.tree_util.tree_leaves(p2))
         assert m["loss"].dtype == jnp.float32
     assert abs(losses[None] - losses[jnp.bfloat16]) / losses[None] < 0.05
+
+
+def test_attractive_structure():
+    """causal_structure=1 ('attractive'): its DAG is valid and the model
+    forward works; the reference uses the same latent index groups for both
+    structures (celeba/module/model.py:190-195)."""
+    from cdgvae_tpu.models.celeba import ATTRACTIVE_NODES
+    B = celeba_B(ATTRACTIVE_NODES, 1)
+    assert is_dag(B)
+    assert B[ATTRACTIVE_NODES.index("Young"),
+             ATTRACTIVE_NODES.index("Chubby")] > 0
+    graph = CausalGraph(B, scm="linear")
+    model = CelebACDGVAE(graph, latent_dim=6, image_size=32, conv_dim=4)
+    params = model.init(jax.random.key(0))
+    x, _ = synthetic_celeba(n=2, img_size=32, seed=0)
+    out = model(params, jnp.asarray(x), rng=jax.random.key(1))
+    assert out.xhat.shape == (2, 32, 32, 3)
+    assert bool(jnp.all(jnp.isfinite(out.xhat)))
