@@ -57,11 +57,16 @@ def main():
                                0)
     jax.block_until_ready(m["loss"])
 
-    t0 = time.perf_counter()
-    params, opt_state, m = run(params, opt_state, x, y, jax.random.key(1),
-                               EPOCHS_PER_CALL)
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
+    # median of 3: the tunnel to the chip adds +-20% wall noise
+    times = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        params, opt_state, m = run(params, opt_state, x, y,
+                                   jax.random.key(1),
+                                   (rep + 1) * EPOCHS_PER_CALL)
+        jax.block_until_ready(m["loss"])
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[1]
 
     steps = (N_DATA // BATCH) * EPOCHS_PER_CALL
     imgs_per_sec = steps * BATCH / dt
