@@ -44,6 +44,19 @@ def add_infra_args(parser: argparse.ArgumentParser):
     return parser
 
 
+def add_png_data_dir_arg(parser: argparse.ArgumentParser):
+    """--data_dir for the pendulum/DR image families: load a
+    reference-format PNG tree (<dir>/{train,test}/a_*.png, labels in
+    filenames — e.g. the reference's modules/causal_data/pendulum_real)
+    instead of rendering the DGP on device. Generate one with
+    cli.generate_data. (The tabular CLIs have their own --data_dir for
+    CSVs, hence not part of add_infra_args.)"""
+    parser.add_argument("--data_dir", default="", type=str,
+                        help="reference-format PNG dataset tree "
+                             "(default: render on device)")
+    return parser
+
+
 def resolve_mesh(config: dict):
     """Build the dp mesh per --dp; None means single-device execution."""
     n_dev = len(jax.devices())

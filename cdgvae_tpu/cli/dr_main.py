@@ -17,7 +17,7 @@ from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
 from ..utils.viz import viz_recon_grid
-from .common import arg_as_list, add_infra_args, resolve_mesh
+from .common import arg_as_list, add_infra_args, add_png_data_dir_arg, resolve_mesh
 
 
 def get_args(debug: bool = False, argv=None):
@@ -41,6 +41,7 @@ def get_args(debug: bool = False, argv=None):
     parser.add_argument("--beta", default=0.1, type=float)
     parser.add_argument("--lambda", default=20, type=float)
     parser.add_argument("--gamma", default=1, type=float)
+    add_png_data_dir_arg(parser)
     add_infra_args(parser)
     if debug:
         return parser.parse_args(args=[])
@@ -55,6 +56,7 @@ def main(argv=None):
                           config=config)
 
     dataset = PendulumDRDataset(
+        data_dir=config.get("data_dir") or None,
         image_size=config["image_size"], train=True,
         labeled_ratio=config["labeled_ratio"],
         label_normalization=config["label_normalization"],

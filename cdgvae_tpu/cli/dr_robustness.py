@@ -38,11 +38,13 @@ def main(argv=None):
     model, _ = build_pendulum_model(config, spurious=True)
     params = ckpt["params"]
 
-    train_ds = PendulumDRDataset(image_size=config["image_size"],
+    train_ds = PendulumDRDataset(data_dir=config.get("data_dir") or None,
+        image_size=config["image_size"],
                                  train=True, downstream=True,
                                  seed=config["seed"],
                                  n=config.get("n_samples", 10000))
-    test_ds = PendulumDRDataset(image_size=config["image_size"],
+    test_ds = PendulumDRDataset(data_dir=config.get("data_dir") or None,
+        image_size=config["image_size"],
                                 train=False, downstream=True,
                                 seed=config["seed"],
                                 n=config.get("n_samples", 10000))

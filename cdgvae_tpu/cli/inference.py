@@ -41,6 +41,7 @@ def main(argv=None):
     params = ckpt["params"]
 
     dataset = PendulumDataset(
+        data_dir=config.get("data_dir") or None,
         image_size=config["image_size"], train=True, seed=config["seed"],
         label_normalization=config.get("label_normalization", True),
         n=config.get("n_samples", 10000))

@@ -23,7 +23,7 @@ from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
 from ..utils.viz import viz_recon_grid
-from .common import arg_as_list, add_infra_args, resolve_mesh
+from .common import arg_as_list, add_infra_args, add_png_data_dir_arg, resolve_mesh
 
 
 def get_args(debug: bool = False, argv=None):
@@ -69,6 +69,7 @@ def get_args(debug: bool = False, argv=None):
                         help="checkpoint directory to resume from (restores "
                              "params + optimizer state + epoch; the "
                              "reference has no resume path at all)")
+    add_png_data_dir_arg(parser)
     add_infra_args(parser)
     if debug:
         return parser.parse_args(args=[])
@@ -96,6 +97,7 @@ def main(argv=None):
                           config=config)
 
     dataset = PendulumDataset(
+        data_dir=config.get("data_dir") or None,
         image_size=config["image_size"], train=True,
         labeled_ratio=config["labeled_ratio"],
         label_normalization=config["label_normalization"],

@@ -19,7 +19,7 @@ from ..train.loop import Averager, batch_indices, format_epoch
 from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
-from .common import add_infra_args
+from .common import add_infra_args, add_png_data_dir_arg
 
 
 def classifier_masks(image_size: int = 64, node: int = 4) -> np.ndarray:
@@ -38,6 +38,7 @@ def get_args(debug: bool = False, argv=None):
     parser.add_argument("--epochs", default=50, type=int)
     parser.add_argument("--batch_size", default=128, type=int)
     parser.add_argument("--lr", default=0.001, type=float)
+    add_png_data_dir_arg(parser)
     add_infra_args(parser)
     if debug:
         return parser.parse_args(args=[])
@@ -51,7 +52,8 @@ def main(argv=None):
                           use_wandb=config["wandb"],
                           tags=["Classifier"], config=config)
 
-    dataset = PendulumDataset(image_size=config["image_size"], train=True,
+    dataset = PendulumDataset(data_dir=config.get("data_dir") or None,
+        image_size=config["image_size"], train=True,
                               seed=config["seed"], n=config["n_samples"])
     x_data = jax.device_put(dataset.x_data)
     y_data = jax.device_put(dataset.y_data)

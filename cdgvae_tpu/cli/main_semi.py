@@ -21,7 +21,7 @@ from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
 from ..utils.viz import viz_recon_grid
-from .common import arg_as_list, add_infra_args
+from .common import arg_as_list, add_infra_args, add_png_data_dir_arg
 
 
 def get_args(debug: bool = False, argv=None):
@@ -45,6 +45,7 @@ def get_args(debug: bool = False, argv=None):
     parser.add_argument("--lr", default=0.001, type=float)
     parser.add_argument("--beta", default=0.1, type=float)
     parser.add_argument("--lambda", default=5, type=float)
+    add_png_data_dir_arg(parser)
     add_infra_args(parser)
     if debug:
         return parser.parse_args(args=[])
@@ -59,11 +60,13 @@ def main(argv=None):
                           tags=["VAEBased", "semi"], config=config)
 
     labeled = PendulumDataset(
+        data_dir=config.get("data_dir") or None,
         image_size=config["image_size"], train=True,
         labeled_ratio=config["labeled_ratio"],
         label_normalization=config["label_normalization"],
         seed=config["seed"], n=config["n_samples"])
     unlabeled = PendulumDataset(
+        data_dir=config.get("data_dir") or None,
         image_size=config["image_size"], train=True, seed=config["seed"],
         n=config["n_samples"])
 

@@ -49,7 +49,8 @@ def main(argv=None):
                                   config["image_size"])
     clf_params = clf_ckpt["params"]
 
-    dataset = PendulumDataset(image_size=config["image_size"], train=True,
+    dataset = PendulumDataset(data_dir=config.get("data_dir") or None,
+        image_size=config["image_size"], train=True,
                               seed=config["seed"],
                               n=config.get("n_samples", 10000))
     x_data = jax.device_put(dataset.x_data)

@@ -34,10 +34,12 @@ def main(argv=None):
     params = ckpt["params"]
 
     # downstream=True keeps raw (un-normalized) labels for the target logit
-    train_ds = PendulumDataset(image_size=config["image_size"], train=True,
+    train_ds = PendulumDataset(data_dir=config.get("data_dir") or None,
+        image_size=config["image_size"], train=True,
                                downstream=True, seed=config["seed"],
                                n=config.get("n_samples", 10000))
-    test_ds = PendulumDataset(image_size=config["image_size"], train=False,
+    test_ds = PendulumDataset(data_dir=config.get("data_dir") or None,
+        image_size=config["image_size"], train=False,
                               downstream=True, seed=config["seed"],
                               n=config.get("n_samples", 10000))
 

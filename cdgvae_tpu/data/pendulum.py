@@ -110,6 +110,11 @@ class PendulumDataset:
 
     ``labeled_ratio`` truncates the train set for semi-supervised runs
     (modules/datasets.py:21). ``downstream=True`` keeps raw labels.
+
+    ``data_dir`` (optional) loads a reference-format PNG tree
+    (``<data_dir>/{train,test}/a_*.png``, labels in filenames) instead of
+    rendering — a reference user's existing ``modules/causal_data/...``
+    dataset works here directly. See :mod:`cdgvae_tpu.data.png_io`.
     """
     image_size: int = 64
     train: bool = True
@@ -118,18 +123,30 @@ class PendulumDataset:
     downstream: bool = False
     seed: int = 1
     n: int = 10000
+    data_dir: str | None = None
     name: list = field(default_factory=lambda: list(FACTOR_NAMES))
 
     def __post_init__(self):
-        factors, is_test = sample_factors_real(self.seed, self.n)
-        sel = is_test if not self.train else ~is_test
-        factors = factors[sel]
-        if self.train and self.labeled_ratio < 1.0:
-            factors = factors[: int(len(factors) * self.labeled_ratio)]
+        if self.data_dir is not None:
+            from .png_io import load_png_dataset
+            import os
+            split = "train" if self.train else "test"
+            x, factors = load_png_dataset(
+                os.path.join(self.data_dir, split), self.image_size)
+            if self.train and self.labeled_ratio < 1.0:
+                keep = int(len(factors) * self.labeled_ratio)
+                x, factors = x[:keep], factors[:keep]
+            self.factors, self.x_data = factors, x
+        else:
+            factors, is_test = sample_factors_real(self.seed, self.n)
+            sel = is_test if not self.train else ~is_test
+            factors = factors[sel]
+            if self.train and self.labeled_ratio < 1.0:
+                factors = factors[: int(len(factors) * self.labeled_ratio)]
 
-        self.factors = factors
-        self.x_data = np.asarray(
-            _render_in_chunks(factors[:, :4], self.image_size))
+            self.factors = factors
+            self.x_data = np.asarray(
+                _render_in_chunks(factors[:, :4], self.image_size))
         label = factors.copy()
         if not self.downstream:
             label, self.std = normalize_labels(label,

@@ -68,7 +68,12 @@ def sample_factors_dr(seed: int = 1, n: int = 10000):
 
 @dataclass
 class PendulumDRDataset:
-    """DR dataset: blue-background-rendered images + 6-column labels."""
+    """DR dataset: blue-background-rendered images + 6-column labels.
+
+    ``data_dir`` (optional) loads a reference-format pendulum_DR PNG tree
+    (6 filename fields, DR/modules/pendulum_DR.py:167) instead of
+    rendering. See :mod:`cdgvae_tpu.data.png_io`.
+    """
     image_size: int = 64
     train: bool = True
     labeled_ratio: float = 1.0
@@ -76,23 +81,34 @@ class PendulumDRDataset:
     downstream: bool = False
     seed: int = 1
     n: int = 10000
+    data_dir: str | None = None
     name: list = field(default_factory=lambda: list(DR_FACTOR_NAMES))
 
     def __post_init__(self):
-        train_f, test_f = sample_factors_dr(self.seed, self.n)
-        factors = train_f if self.train else test_f
-        if self.train and self.labeled_ratio < 1.0:
-            factors = factors[: int(len(factors) * self.labeled_ratio)]
+        if self.data_dir is not None:
+            from .png_io import load_png_dataset
+            import os
+            split = "train" if self.train else "test"
+            self.x_data, factors = load_png_dataset(
+                os.path.join(self.data_dir, split), self.image_size)
+            if self.train and self.labeled_ratio < 1.0:
+                keep = int(len(factors) * self.labeled_ratio)
+                self.x_data, factors = self.x_data[:keep], factors[:keep]
+        else:
+            train_f, test_f = sample_factors_dr(self.seed, self.n)
+            factors = train_f if self.train else test_f
+            if self.train and self.labeled_ratio < 1.0:
+                factors = factors[: int(len(factors) * self.labeled_ratio)]
         self.factors = factors
-
-        xs = []
-        for i in range(0, len(factors), 2048):
-            chunk = factors[i: i + 2048]
-            xs.append(np.asarray(render(
-                jnp.asarray(chunk[:, :4], jnp.float32),
-                size=self.image_size,
-                background=jnp.asarray(chunk[:, 4], jnp.float32))))
-        self.x_data = np.concatenate(xs, 0).astype(np.float32)
+        if self.data_dir is None:
+            xs = []
+            for i in range(0, len(factors), 2048):
+                chunk = factors[i: i + 2048]
+                xs.append(np.asarray(render(
+                    jnp.asarray(chunk[:, :4], jnp.float32),
+                    size=self.image_size,
+                    background=jnp.asarray(chunk[:, 4], jnp.float32))))
+            self.x_data = np.concatenate(xs, 0).astype(np.float32)
 
         label = factors.copy()
         if not self.downstream:
