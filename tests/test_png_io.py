@@ -69,11 +69,12 @@ def test_dr_round_trip_six_fields(tmp_path):
     assert ds.factors.shape[1] == 6
     assert ({tuple(r) for r in ds.factors} == {tuple(r) for r in train_f})
     # blue-background samples really render blue: vs the white background,
-    # blue drops the red channel on the top rows (above every artist)
+    # blue drops the red channel inside the axes window (rows/cols 5:10 at
+    # 32px are in-window, left of the sun, above the pendulum)
     bg = ds.factors[:, 4].astype(bool)
     if bg.any() and (~bg).any():
-        top = ds.x_data[:, :4]
-        red = top[..., 0].mean(axis=(1, 2))
+        patch = ds.x_data[:, 5:9, 5:10]
+        red = patch[..., 0].mean(axis=(1, 2))
         assert red[bg].mean() < red[~bg].mean() - 0.2
 
 
