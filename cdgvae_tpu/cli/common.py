@@ -70,3 +70,32 @@ def resolve_mesh(config: dict):
                 f"batch_size {config['batch_size']} not divisible by dp={n}")
         return None
     return make_mesh(n)
+
+
+def sharded_scan_setup(mesh, x_data, y_data, loss_fn, optimizer,
+                       batch_size: int, post_update=None):
+    """Wire a CLI onto the multi-chip shard_map scanned trainer: shard the
+    dataset over the dp axis (rows not divisible by the device count are
+    dropped) and build the ``make_runner`` hook for
+    ``train.loop.run_scanned_chunks``. Per-shard shuffling and one gradient
+    pmean per step over ICI (see train/scanned.py).
+
+    Returns (x_sharded, y_sharded, make_runner).
+    """
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..train.scanned import make_sharded_scanned_epochs_from_loss
+
+    n_dev = mesh.devices.size
+    n = (len(x_data) // n_dev) * n_dev
+    sh = NamedSharding(mesh, P("dp"))
+    xd = jax.device_put(np.asarray(x_data[:n]), sh)
+    yd = jax.device_put(np.asarray(y_data[:n]), sh)
+
+    def make_runner(n_epochs):
+        return make_sharded_scanned_epochs_from_loss(
+            loss_fn, optimizer, mesh, batch_size,
+            n_epochs_per_call=n_epochs, post_update=post_update)
+
+    return xd, yd, make_runner

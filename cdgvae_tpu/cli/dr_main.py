@@ -100,15 +100,27 @@ def main(argv=None):
             viz_recon_grid(np.asarray(xhat),
                            f"{config['assets_dir']}/tmp_image_{epoch}.png")
 
-    if config["model"] != "InfoMax" and mesh is None \
-            and not config["eager"]:
+    if config["model"] != "InfoMax" and not config["eager"]:
         raw = make_train_step(model, optimizer, config["beta"],
                               config["lambda"], jit=False)
+        make_runner = None
+        xd, yd = x_data, y_data
+        if mesh is not None:
+            # multi-chip: shard_map scanned trainer (same wiring as
+            # cli.main --dp; DR uses the identical supervised loss)
+            from ..train.scanned import make_supervised_loss_fn
+            from .common import sharded_scan_setup
+            xd, yd, make_runner = sharded_scan_setup(
+                mesh, x_data, y_data,
+                make_supervised_loss_fn(model, config["beta"],
+                                        config["lambda"]),
+                optimizer, config["batch_size"])
         state = run_scanned_chunks(
-            raw, state, x_data, y_data, k_train,
+            raw, state, xd, yd, k_train,
             epochs=config["epochs"], batch_size=config["batch_size"],
             on_epoch=on_epoch, post_epoch=post_epoch,
-            post_epoch_pred=lambda e: e % 10 == 0)
+            post_epoch_pred=lambda e: e % 10 == 0,
+            make_runner=make_runner)
     else:
         for epoch in range(config["epochs"]):
             state, metrics = train_epoch(

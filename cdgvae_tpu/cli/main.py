@@ -192,18 +192,13 @@ def main(argv=None):
             # multi-chip: shard the dataset over the dp axis and use the
             # shard_map scanned trainer (per-shard shuffling, one gradient
             # pmean per step over ICI)
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            from ..train.scanned import make_sharded_scanned_epochs
-            n_dev = mesh.devices.size
-            n = (len(x_data) // n_dev) * n_dev
-            sh = NamedSharding(mesh, P("dp"))
-            xd = jax.device_put(np.asarray(x_data[:n]), sh)
-            yd = jax.device_put(np.asarray(y_data[:n]), sh)
-
-            def make_runner(ne):
-                return make_sharded_scanned_epochs(
-                    model, optimizer, config["beta"], config["lambda"],
-                    mesh, config["batch_size"], n_epochs_per_call=ne)
+            from ..train.scanned import make_supervised_loss_fn
+            from .common import sharded_scan_setup
+            xd, yd, make_runner = sharded_scan_setup(
+                mesh, x_data, y_data,
+                make_supervised_loss_fn(model, config["beta"],
+                                        config["lambda"]),
+                optimizer, config["batch_size"])
         state = run_scanned_chunks(
             raw, state, xd, yd, k_train,
             epochs=config["epochs"], start_epoch=start_epoch,

@@ -92,14 +92,25 @@ def main(argv=None):
         print(format_epoch(epoch, metrics))
         logger.log(metrics, step=epoch)
 
-    if config["model"] != "InfoMax" and mesh is None \
-            and not config["eager"]:
+    if config["model"] != "InfoMax" and not config["eager"]:
         raw = make_tabular_step(model, optimizer, config["beta"],
                                 config["lambda"], recon_fn, jit=False)
+        make_runner = None
+        xd, yd = x_data, y_data
+        if mesh is not None:
+            # multi-chip: shard_map scanned trainer with the tabular
+            # dataset-specific loss
+            from ..train.tabular_steps import make_tabular_loss_fn
+            from .common import sharded_scan_setup
+            xd, yd, make_runner = sharded_scan_setup(
+                mesh, x_data, y_data,
+                make_tabular_loss_fn(model, config["beta"],
+                                     config["lambda"], recon_fn),
+                optimizer, config["batch_size"])
         state = run_scanned_chunks(
-            raw, state, x_data, y_data, k_train,
+            raw, state, xd, yd, k_train,
             epochs=config["epochs"], batch_size=config["batch_size"],
-            chunk=25, on_epoch=on_epoch)
+            chunk=25, on_epoch=on_epoch, make_runner=make_runner)
     else:
         for epoch in range(config["epochs"]):
             state, metrics = train_epoch(

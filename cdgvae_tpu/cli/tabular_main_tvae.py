@@ -93,15 +93,30 @@ def main(argv=None):
         print(format_epoch(epoch, metrics))
         logger.log(metrics, step=epoch)
 
-    if mesh is None and not config["eager"]:
+    if not config["eager"]:
         raw = make_tvae_step(model, optimizer, config["lambda"],
                              data.transformer.output_info_list,
                              sigma_range=tuple(config["sigma_range"]),
                              jit=False)
+        make_runner = None
+        xd, yd = x_data, y_data
+        if mesh is not None:
+            # multi-chip: shard_map scanned trainer with the span-walking
+            # TVAE loss and the post-update sigma clamp
+            from ..train.tabular_steps import (make_tvae_loss_fn,
+                                               make_sigma_clamp)
+            from .common import sharded_scan_setup
+            xd, yd, make_runner = sharded_scan_setup(
+                mesh, x_data, y_data,
+                make_tvae_loss_fn(model, config["lambda"],
+                                  data.transformer.output_info_list),
+                optimizer, config["batch_size"],
+                post_update=make_sigma_clamp(
+                    tuple(config["sigma_range"])))
         state = run_scanned_chunks(
-            raw, state, x_data, y_data, k_train,
+            raw, state, xd, yd, k_train,
             epochs=config["epochs"], batch_size=config["batch_size"],
-            chunk=25, on_epoch=on_epoch)
+            chunk=25, on_epoch=on_epoch, make_runner=make_runner)
     else:
         for epoch in range(config["epochs"]):
             state, metrics = train_epoch(

@@ -135,11 +135,12 @@ def make_scanned_epochs_semi(step_fn: Callable, batch_size: int,
     return run
 
 
-def unjitted_step(model, optimizer, beta: float, lam: float,
-                  compute_dtype=None) -> Callable:
-    """The raw (unjitted) supervised step for use inside scans — same math
-    as train.steps.make_train_step."""
-    import optax
+def make_supervised_loss_fn(model, beta: float, lam: float,
+                            compute_dtype=None) -> Callable:
+    """The supervised image-family ELBO+alignment loss (pendulum/DR;
+    reference modules/train.py:174-199) as a pure
+    ``loss_fn(params, x, y, rng) -> (loss, metrics)`` — shared by the
+    scanned, sharded-scanned, and jitted step builders."""
     from ..ops import losses
     from .steps import _metrics, _forward
 
@@ -152,6 +153,17 @@ def unjitted_step(model, optimizer, beta: float, lam: float,
         align = losses.alignment_bce(out.align_latent, y[:, :node])
         loss = recon + beta * kl + lam * align
         return loss, _metrics(loss, recon, kl, align, out.logvar, node)
+
+    return loss_fn
+
+
+def unjitted_step(model, optimizer, beta: float, lam: float,
+                  compute_dtype=None) -> Callable:
+    """The raw (unjitted) supervised step for use inside scans — same math
+    as train.steps.make_train_step."""
+    import optax
+
+    loss_fn = make_supervised_loss_fn(model, beta, lam, compute_dtype)
 
     def step(params, opt_state, x, y, rng):
         (loss, metrics), grads = jax.value_and_grad(
@@ -166,8 +178,26 @@ def unjitted_step(model, optimizer, beta: float, lam: float,
 def make_sharded_scanned_epochs(model, optimizer, beta: float, lam: float,
                                 mesh, batch_size: int,
                                 n_epochs_per_call: int = 1) -> Callable:
+    """Multi-chip scanned trainer for the supervised image families
+    (pendulum/DR): the standard ELBO+alignment loss over the ``dp`` mesh.
+    Thin wrapper over :func:`make_sharded_scanned_epochs_from_loss` — see it
+    for the layout/collective contract.
+
+    Returns run(params, opt_state, x_sharded, y_sharded, rng, epoch0).
+    """
+    return make_sharded_scanned_epochs_from_loss(
+        make_supervised_loss_fn(model, beta, lam), optimizer, mesh,
+        batch_size, n_epochs_per_call=n_epochs_per_call)
+
+
+def make_sharded_scanned_epochs_from_loss(
+        loss_fn: Callable, optimizer, mesh, batch_size: int,
+        n_epochs_per_call: int = 1,
+        post_update: Callable | None = None) -> Callable:
     """Multi-chip scanned trainer: whole epochs as ONE program over the
-    ``dp`` mesh via ``shard_map`` with explicit collectives.
+    ``dp`` mesh via ``shard_map`` with explicit collectives, for ANY
+    supervised ``loss_fn(params, x, y, rng) -> (loss, metrics)`` (pendulum,
+    DR, tabular, TVAE — the family differences live entirely in the loss).
 
     Layout: params/opt state replicated; the dataset lives sharded over the
     batch axis (each device holds n/D rows). Each device shuffles and
@@ -177,12 +207,14 @@ def make_sharded_scanned_epochs(model, optimizer, beta: float, lam: float,
     the only communication is one ``psum``-mean of gradients (and metrics)
     per step over ICI. Global batch = ``batch_size`` (split D ways).
 
+    ``post_update(params) -> params`` runs after each optimizer update on
+    the replicated params (e.g. the TVAE sigma clamp,
+    reference tabular/modules/train.py:314).
+
     Returns run(params, opt_state, x_sharded, y_sharded, rng, epoch0).
     """
     import optax
     from jax.sharding import PartitionSpec as P
-    from .steps import _metrics as build_metrics
-    from ..ops import losses
 
     try:
         from jax import shard_map as _shard_map
@@ -202,15 +234,6 @@ def make_sharded_scanned_epochs(model, optimizer, beta: float, lam: float,
         raise ValueError(f"batch_size {batch_size} not divisible by "
                          f"{n_dev} devices")
     local_bs = batch_size // n_dev
-    node = model.node
-
-    def loss_fn(params, x, y, rng):
-        out = model(params, x, rng)
-        recon = losses.gaussian_recon(out.xhat, x)
-        kl = losses.kl_std_normal(out.mean, out.logvar)
-        align = losses.alignment_bce(out.align_latent, y[:, :node])
-        loss = recon + beta * kl + lam * align
-        return loss, build_metrics(loss, recon, kl, align, out.logvar, node)
 
     def device_body(params, opt_state, x_loc, y_loc, rng, epoch0):
         n_loc = x_loc.shape[0]
@@ -241,6 +264,8 @@ def make_sharded_scanned_epochs(model, optimizer, beta: float, lam: float,
                 updates, opt_state = optimizer.update(grads, opt_state,
                                                       params)
                 params = optax.apply_updates(params, updates)
+                if post_update is not None:
+                    params = post_update(params)
                 return (params, opt_state), metrics
 
             (params, opt_state), metrics = jax.lax.scan(

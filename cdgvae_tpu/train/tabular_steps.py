@@ -53,12 +53,11 @@ def make_recon_fn(dataset: str, flatten_topology: Sequence[int]) -> Callable:
     return recon_fn
 
 
-def make_tabular_step(model, optimizer: optax.GradientTransformation,
-                      beta: float, lam: float, recon_fn: Callable,
-                      mesh=None, donate: bool = True,
-                      jit: bool = True) -> Callable:
-    """Supervised tabular VAE/CDG-VAE step (train.py:11-243). Alignment uses
-    ALL label columns (tabular labels have exactly node columns)."""
+def make_tabular_loss_fn(model, beta: float, lam: float,
+                         recon_fn: Callable) -> Callable:
+    """Supervised tabular loss (train.py:11-243). Alignment uses ALL label
+    columns (tabular labels have exactly node columns). Shared by the jitted
+    step and the sharded scanned trainer."""
     node = model.node
 
     def loss_fn(params, x, y, rng):
@@ -68,6 +67,16 @@ def make_tabular_step(model, optimizer: optax.GradientTransformation,
         align = losses.alignment_bce(out.align_latent, y)
         loss = recon + beta * kl + lam * align
         return loss, _metrics(loss, recon, kl, align, out.logvar, node)
+
+    return loss_fn
+
+
+def make_tabular_step(model, optimizer: optax.GradientTransformation,
+                      beta: float, lam: float, recon_fn: Callable,
+                      mesh=None, donate: bool = True,
+                      jit: bool = True) -> Callable:
+    """Supervised tabular VAE/CDG-VAE step (train.py:11-243)."""
+    loss_fn = make_tabular_loss_fn(model, beta, lam, recon_fn)
 
     def step(params, opt_state, x, y, rng):
         (loss, metrics), grads = jax.value_and_grad(
@@ -129,12 +138,10 @@ def flatten_spans(output_info_list):
     return tuple(spans)
 
 
-def make_tvae_step(model, optimizer: optax.GradientTransformation,
-                   lam: float, output_info_list,
-                   sigma_range=(0.01, 0.1), mesh=None,
-                   donate: bool = True, jit: bool = True) -> Callable:
-    """CDG-TVAE step (train.py:245-320): span-walking recon, KL weight 1,
-    post-update sigma clamp."""
+def make_tvae_loss_fn(model, lam: float, output_info_list) -> Callable:
+    """CDG-TVAE loss (train.py:245-320): span-walking recon (gaussian NLL
+    with learnable sigma for tanh spans, cross-entropy for softmax spans),
+    KL weight 1."""
     node = model.node
     spans = flatten_spans(output_info_list)
 
@@ -159,13 +166,34 @@ def make_tvae_step(model, optimizer: optax.GradientTransformation,
         loss = recon + kl + lam * align
         return loss, _metrics(loss, recon, kl, align, out.logvar, node)
 
+    return loss_fn
+
+
+def make_sigma_clamp(sigma_range=(0.01, 0.1)) -> Callable:
+    """Post-update params hook: the TVAE sigma clamp (train.py:314)."""
+
+    def post_update(params):
+        return dict(params, sigma=jnp.clip(
+            params["sigma"], sigma_range[0], sigma_range[1]))
+
+    return post_update
+
+
+def make_tvae_step(model, optimizer: optax.GradientTransformation,
+                   lam: float, output_info_list,
+                   sigma_range=(0.01, 0.1), mesh=None,
+                   donate: bool = True, jit: bool = True) -> Callable:
+    """CDG-TVAE step (train.py:245-320): span-walking recon, KL weight 1,
+    post-update sigma clamp."""
+    loss_fn = make_tvae_loss_fn(model, lam, output_info_list)
+    clamp = make_sigma_clamp(sigma_range)
+
     def step(params, opt_state, x, y, rng):
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, x, y, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        params = dict(params, sigma=jnp.clip(
-            params["sigma"], sigma_range[0], sigma_range[1]))
+        params = clamp(params)
         return params, opt_state, metrics
 
     if not jit:

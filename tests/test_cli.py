@@ -4,6 +4,8 @@ like a user would run them."""
 import json
 import os
 
+import numpy as np
+
 import pytest
 
 pytestmark = pytest.mark.slow
@@ -174,3 +176,42 @@ def test_main_dp_mesh_scanned(workdir):
                        "--assets_dir", out])
     assert os.path.exists(os.path.join(out, "model_CDGVAE_linear",
                                        "state.pkl"))
+
+
+def test_dr_dp_mesh_scanned(workdir):
+    """DR family rides the shard_map scanned trainer under --dp too."""
+    from cdgvae_tpu.cli import dr_main
+    out = os.path.join(workdir, "dr_dp")
+    dr_main.main(SMALL + ["--epochs", "2", "--batch_size", "16",
+                          "--dp", "8", "--assets_dir", out])
+    assert os.path.exists(os.path.join(out, "model_DR_CDGVAE_linear",
+                                       "state.pkl"))
+
+
+def test_tabular_dp_mesh_scanned(workdir):
+    """Tabular family under --dp: shard_map scanned trainer with the
+    dataset-specific loss."""
+    from cdgvae_tpu.cli import tabular_main
+    out = os.path.join(workdir, "tab_dp")
+    tabular_main.main(["--dataset", "loan", "--epochs", "2",
+                       "--batch_size", "128", "--dp", "8",
+                       "--assets_dir", out, "--data_dir", "/nonexistent"])
+    assert os.path.exists(os.path.join(out, "tabular_CDGVAE_loan",
+                                       "state.pkl"))
+
+
+def test_tvae_dp_mesh_scanned(workdir):
+    """CDG-TVAE under --dp: sharded scanned trainer with the span-walking
+    loss; the post-update sigma clamp holds on the final params."""
+    import pickle
+    from cdgvae_tpu.cli import tabular_main_tvae
+    out = os.path.join(workdir, "tvae_dp")
+    tabular_main_tvae.main(["--dataset", "loan", "--epochs", "2",
+                            "--batch_size", "128", "--dp", "8",
+                            "--assets_dir", out,
+                            "--data_dir", "/nonexistent"])
+    ckpt = os.path.join(out, "tabular_TVAE_loan")
+    with open(os.path.join(ckpt, "state.pkl"), "rb") as f:
+        state = pickle.load(f)
+    sigma = np.asarray(state["params"]["sigma"])
+    assert np.all(sigma >= 0.01 - 1e-7) and np.all(sigma <= 0.1 + 1e-7)

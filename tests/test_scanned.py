@@ -158,3 +158,38 @@ def test_sharded_scanned_epochs_on_mesh():
     for a, b in zip(jax.tree_util.tree_leaves(outs[0]),
                     jax.tree_util.tree_leaves(outs[1])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_from_loss_applies_post_update():
+    """The generic sharded trainer (any loss_fn) applies the post_update
+    hook after every optimizer update — the TVAE sigma-clamp contract
+    (reference tabular/modules/train.py:314)."""
+    from cdgvae_tpu.parallel.mesh import make_mesh
+    from cdgvae_tpu.train.scanned import make_sharded_scanned_epochs_from_loss
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(8)
+    opt = optax.adam(0.05)  # big steps: drives sigma well below the floor
+
+    def loss_fn(params, x, y, rng):
+        pred = x @ params["w"]
+        loss = ((pred - y) ** 2).mean() + params["sigma"].sum()
+        return loss, {"loss": loss}
+
+    def clamp(params):
+        return dict(params, sigma=jnp.clip(params["sigma"], 0.01, 0.1))
+
+    run = make_sharded_scanned_epochs_from_loss(
+        loss_fn, opt, mesh, batch_size=16, n_epochs_per_call=3,
+        post_update=clamp)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(64, 4)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(64,)), jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+    ys = jax.device_put(y, NamedSharding(mesh, P("dp")))
+    params = {"w": jnp.zeros((4,)), "sigma": jnp.full((3,), 0.05)}
+    p, _, ms = run(params, opt.init(params), xs, ys, jax.random.key(0), 0)
+    sigma = np.asarray(p["sigma"])
+    # gradient alone would push sigma to 0.05 - 9*0.05 < 0; the clamp holds
+    assert np.all(sigma >= 0.01 - 1e-7) and np.all(sigma <= 0.1 + 1e-7)
+    assert np.all(np.isfinite(np.asarray(ms["loss"])))
