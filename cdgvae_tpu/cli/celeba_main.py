@@ -111,17 +111,32 @@ def main(argv=None):
                        f"{config['assets_dir']}/tmp_image_{epoch}.png",
                        n=n_viz)
 
-    if mesh is None and not config["eager"]:
+    if not config["eager"]:
         # dataset is device-resident -> scan-compile whole epoch chunks
         # (one dispatch per <=10 epochs; drop_last matches the reference,
         # celeba/main.py:70-72); recon viz at every chunk boundary
         raw = celeba_unjitted_step(model, optimizer, config["beta"],
                                    config["lambda"],
                                    compute_dtype=compute_dtype)
+        make_runner = None
+        xd, yd = x_data, y_data
+        if mesh is not None:
+            # multi-chip: shard_map scanned trainer with the dual-latent
+            # L1 loss — the one family big enough (49M params, convs)
+            # that DP over ICI genuinely pays
+            from ..train.celeba_steps import make_celeba_loss_fn
+            from .common import sharded_scan_setup
+            xd, yd, make_runner = sharded_scan_setup(
+                mesh, x_data, y_data,
+                make_celeba_loss_fn(model, config["beta"],
+                                    config["lambda"],
+                                    compute_dtype=compute_dtype),
+                optimizer, config["batch_size"])
         state = run_scanned_chunks(
-            raw, state, x_data, y_data, k_train,
+            raw, state, xd, yd, k_train,
             epochs=config["epochs"], batch_size=config["batch_size"],
-            chunk=10, on_epoch=on_epoch, post_epoch=post_epoch)
+            chunk=10, on_epoch=on_epoch, post_epoch=post_epoch,
+            make_runner=make_runner)
     else:
         step = make_celeba_step(model, optimizer, config["beta"],
                                 config["lambda"], mesh=mesh,

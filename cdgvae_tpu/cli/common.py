@@ -99,3 +99,33 @@ def sharded_scan_setup(mesh, x_data, y_data, loss_fn, optimizer,
             n_epochs_per_call=n_epochs, post_update=post_update)
 
     return xd, yd, make_runner
+
+
+def sharded_scan_setup_semi(mesh, x_u, x_l, y_l, loss_fn, optimizer,
+                            batch_size: int, batch_size_l: int):
+    """Semi-supervised variant of :func:`sharded_scan_setup`: shard both
+    streams over the dp axis (each device cycles its own labeled shard) and
+    build the ``make_runner`` hook.
+
+    Returns (x_u_sharded, x_l_sharded, y_l_sharded, make_runner).
+    """
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..train.scanned import make_sharded_scanned_epochs_semi_from_loss
+
+    n_dev = mesh.devices.size
+    sh = NamedSharding(mesh, P("dp"))
+
+    def shard(a):
+        n = (len(a) // n_dev) * n_dev
+        return jax.device_put(np.asarray(a[:n]), sh)
+
+    xu, xl, yl = shard(x_u), shard(x_l), shard(y_l)
+
+    def make_runner(n_epochs):
+        return make_sharded_scanned_epochs_semi_from_loss(
+            loss_fn, optimizer, mesh, batch_size, batch_size_l,
+            n_epochs_per_call=n_epochs)
+
+    return xu, xl, yl, make_runner

@@ -21,7 +21,8 @@ from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
 from ..utils.viz import viz_recon_grid
-from .common import arg_as_list, add_infra_args, add_png_data_dir_arg
+from .common import (arg_as_list, add_infra_args, add_png_data_dir_arg,
+                     resolve_mesh)
 
 
 def get_args(debug: bool = False, argv=None):
@@ -102,12 +103,28 @@ def main(argv=None):
                              config["lambda"], jit=False)
         bs = min(config["batch_size"], len(x_u))
         bs_l = min(config["batch_sizeL"], len(x_l))
+        mesh = resolve_mesh(config)
+        if mesh is not None:
+            # multi-chip: both streams sharded over dp, per-shard labeled
+            # cycling, one gradient pmean per step over ICI
+            from ..train.steps import make_semi_loss_fn
+            from .common import sharded_scan_setup_semi
+            xu, xl, yl, make_runner = sharded_scan_setup_semi(
+                mesh, x_u, x_l, y_l,
+                make_semi_loss_fn(model, config["beta"], config["lambda"]),
+                optimizer, bs, bs_l)
+            batch_args = (xu, xl, yl)
+        else:
+            batch_args = (x_u, x_l, y_l)
+
+            def make_runner(n):
+                return make_scanned_epochs_semi(raw, bs, bs_l,
+                                                n_epochs_per_call=n)
         state = run_scanned_chunks(
-            raw, state, x_u, y_l, k_train,
+            raw, state, batch_args[0], batch_args[2], k_train,
             epochs=config["epochs"], batch_size=bs, chunk=10,
-            on_epoch=on_epoch, batch_args=(x_u, x_l, y_l),
-            make_runner=lambda n: make_scanned_epochs_semi(
-                raw, bs, bs_l, n_epochs_per_call=n))
+            on_epoch=on_epoch, batch_args=batch_args,
+            make_runner=make_runner)
 
     viz = jax.jit(lambda p, x, r: model(p, x, rng=r).xhat)
     xhat = viz(state[0], x_u[:9], jax.random.fold_in(k_train, 2**31))

@@ -12,10 +12,10 @@ from ..ops import losses
 from .steps import _jit_step
 
 
-def celeba_unjitted_step(model, optimizer: optax.GradientTransformation,
-                         beta: float, lam: float, compute_dtype=None):
-    """The raw (unjitted) CelebA step — used directly inside
-    train.scanned.make_scanned_epochs, or jitted via make_celeba_step.
+def make_celeba_loss_fn(model, beta: float, lam: float, compute_dtype=None):
+    """The CelebA dual-latent L1 ELBO+alignment loss as a pure
+    ``loss_fn(params, x, y, rng) -> (loss, metrics)`` — shared by the
+    scanned, sharded-scanned, and jitted step builders.
 
     ``compute_dtype=jnp.bfloat16`` runs the SAGAN/ResNet network in bf16
     (classic mixed precision: params/optimizer/losses stay f32). Unlike the
@@ -49,6 +49,15 @@ def celeba_unjitted_step(model, optimizer: optax.GradientTransformation,
         metrics = {"loss": loss, "recon": recon, "KL": kl1 + kl2,
                    "alignment": align, "active": active.astype(jnp.float32)}
         return loss, metrics
+
+    return loss_fn
+
+
+def celeba_unjitted_step(model, optimizer: optax.GradientTransformation,
+                         beta: float, lam: float, compute_dtype=None):
+    """The raw (unjitted) CelebA step — used directly inside
+    train.scanned.make_scanned_epochs, or jitted via make_celeba_step."""
+    loss_fn = make_celeba_loss_fn(model, beta, lam, compute_dtype)
 
     def step(params, opt_state, x, y, rng):
         (loss, metrics), grads = jax.value_and_grad(

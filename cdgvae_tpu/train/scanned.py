@@ -135,6 +135,23 @@ def make_scanned_epochs_semi(step_fn: Callable, batch_size: int,
     return run
 
 
+def _resolve_shard_map():
+    """shard_map moved out of jax.experimental in newer jax."""
+    try:
+        from jax import shard_map as _shard_map
+
+        def shard_map(f, mesh, in_specs, out_specs):
+            return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs)
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _shard_map_old
+
+        def shard_map(f, mesh, in_specs, out_specs):
+            return _shard_map_old(f, mesh=mesh, in_specs=in_specs,
+                                  out_specs=out_specs)
+    return shard_map
+
+
 def make_supervised_loss_fn(model, beta: float, lam: float,
                             compute_dtype=None) -> Callable:
     """The supervised image-family ELBO+alignment loss (pendulum/DR;
@@ -216,19 +233,7 @@ def make_sharded_scanned_epochs_from_loss(
     import optax
     from jax.sharding import PartitionSpec as P
 
-    try:
-        from jax import shard_map as _shard_map
-
-        def shard_map(f, mesh, in_specs, out_specs):
-            return _shard_map(f, mesh=mesh, in_specs=in_specs,
-                              out_specs=out_specs)
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map as _shard_map_old
-
-        def shard_map(f, mesh, in_specs, out_specs):
-            return _shard_map_old(f, mesh=mesh, in_specs=in_specs,
-                                  out_specs=out_specs)
-
+    shard_map = _resolve_shard_map()
     n_dev = mesh.devices.size
     if batch_size % n_dev:
         raise ValueError(f"batch_size {batch_size} not divisible by "
@@ -283,5 +288,94 @@ def make_sharded_scanned_epochs_from_loss(
     sharded = P("dp")
     body = shard_map(device_body, mesh,
                      in_specs=(rep, rep, sharded, sharded, rep, rep),
+                     out_specs=(rep, rep, rep))
+    return jax.jit(body, donate_argnums=(0, 1))
+
+
+def make_sharded_scanned_epochs_semi_from_loss(
+        loss_fn: Callable, optimizer, mesh, batch_size: int,
+        batch_size_l: int, n_epochs_per_call: int = 1) -> Callable:
+    """Multi-chip semi-supervised scanned trainer: both streams (unlabeled
+    drives the epoch; labeled cycles with reshuffle-on-exhaustion like the
+    reference's ``next(iter_dataloaderL)`` restart, modules/train.py:225-231)
+    sharded over the ``dp`` mesh via ``shard_map``.
+
+    ``loss_fn(params, x_u, x_l, y_l, rng) -> (loss, metrics)``. Layout as in
+    :func:`make_sharded_scanned_epochs_from_loss` — params/opt replicated,
+    each device shuffles/batches/cycles its OWN shard of both streams
+    (per-shard shuffling deviation), one gradient pmean per step over ICI.
+    Both global batch sizes split D ways.
+
+    Returns run(params, opt_state, x_u_sharded, x_l_sharded, y_l_sharded,
+    rng, epoch0).
+    """
+    import optax
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = _resolve_shard_map()
+    n_dev = mesh.devices.size
+    for name, bs in (("batch_size", batch_size),
+                     ("batch_sizeL", batch_size_l)):
+        if bs % n_dev:
+            raise ValueError(f"{name} {bs} not divisible by {n_dev} devices")
+    local_bs = batch_size // n_dev
+    local_bs_l = batch_size_l // n_dev
+
+    def device_body(params, opt_state, xu_loc, xl_loc, yl_loc, rng, epoch0):
+        n_u, n_l = xu_loc.shape[0], xl_loc.shape[0]
+        steps = n_u // local_bs
+        if steps == 0 or n_l < local_bs_l:
+            raise ValueError(
+                f"local shards too small (unlabeled {n_u} vs per-device "
+                f"batch {local_bs}; labeled {n_l} vs {local_bs_l})")
+        need = steps * local_bs_l
+        k_perms = -(-need // n_l)  # ceil: labeled reshuffles per epoch
+        dev = jax.lax.axis_index("dp")
+
+        def epoch_body(carry, epoch_idx):
+            params, opt_state = carry
+            ekey = jax.random.fold_in(
+                jax.random.fold_in(rng, epoch0 + epoch_idx), dev)
+            perm_u = jax.random.permutation(ekey, n_u)[: steps * local_bs]
+            xb_u = xu_loc[perm_u].reshape(steps, local_bs,
+                                          *xu_loc.shape[1:])
+            lkey = jax.random.fold_in(ekey, 2**20)
+            perm_l = jnp.concatenate(
+                [jax.random.permutation(jax.random.fold_in(lkey, k), n_l)
+                 for k in range(k_perms)])[:need]
+            xb_l = xl_loc[perm_l].reshape(steps, local_bs_l,
+                                          *xl_loc.shape[1:])
+            yb_l = yl_loc[perm_l].reshape(steps, local_bs_l,
+                                          *yl_loc.shape[1:])
+
+            def step_body(carry, inp):
+                params, opt_state = carry
+                xu, xl, yl, bi = inp
+                skey = jax.random.fold_in(ekey, bi)
+                (_, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, xu, xl, yl, skey)
+                grads = jax.lax.pmean(grads, "dp")
+                metrics = jax.lax.pmean(metrics, "dp")
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            (params, opt_state), metrics = jax.lax.scan(
+                step_body, (params, opt_state),
+                (xb_u, xb_l, yb_l, jnp.arange(steps)))
+            return (params, opt_state), jax.tree.map(lambda m: m.mean(),
+                                                     metrics)
+
+        (params, opt_state), metrics = jax.lax.scan(
+            epoch_body, (params, opt_state),
+            jnp.arange(n_epochs_per_call))
+        return params, opt_state, metrics
+
+    rep = P()
+    sharded = P("dp")
+    body = shard_map(device_body, mesh,
+                     in_specs=(rep, rep, sharded, sharded, sharded, rep,
+                               rep),
                      out_specs=(rep, rep, rep))
     return jax.jit(body, donate_argnums=(0, 1))

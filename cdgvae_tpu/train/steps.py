@@ -146,15 +146,12 @@ def pair_infomax_step(raw_infomax: Callable) -> Callable:
     return step
 
 
-def make_semi_step(model, optimizer: optax.GradientTransformation,
-                   beta: float, lam: float, mesh=None,
-                   donate: bool = True, jit: bool = True) -> Callable:
-    """Semi-supervised step: ELBO on an unlabeled batch + alignment on a
+def make_semi_loss_fn(model, beta: float, lam: float) -> Callable:
+    """Semi-supervised loss: ELBO on an unlabeled batch + alignment on a
     separate labeled batch (reference train_CDGVAE_semi,
-    modules/train.py:211-282).
-
-    step(params, opt_state, x_u, x_l, y_l, rng) -> (params, opt_state, metrics)
-    """
+    modules/train.py:211-282), as a pure
+    ``loss_fn(params, x_u, x_l, y_l, rng) -> (loss, metrics)`` shared by the
+    jitted and sharded-scanned step builders."""
     node = model.node
 
     def loss_fn(params, x_u, x_l, y_l, rng):
@@ -167,6 +164,19 @@ def make_semi_step(model, optimizer: optax.GradientTransformation,
         align = losses.alignment_bce(align_latent, y_l[:, :node])
         loss = recon + beta * kl + lam * align
         return loss, _metrics(loss, recon, kl, align, out.logvar, node)
+
+    return loss_fn
+
+
+def make_semi_step(model, optimizer: optax.GradientTransformation,
+                   beta: float, lam: float, mesh=None,
+                   donate: bool = True, jit: bool = True) -> Callable:
+    """Semi-supervised step (reference train_CDGVAE_semi,
+    modules/train.py:211-282).
+
+    step(params, opt_state, x_u, x_l, y_l, rng) -> (params, opt_state, metrics)
+    """
+    loss_fn = make_semi_loss_fn(model, beta, lam)
 
     def step(params, opt_state, x_u, x_l, y_l, rng):
         (loss, metrics), grads = jax.value_and_grad(

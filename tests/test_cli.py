@@ -215,3 +215,39 @@ def test_tvae_dp_mesh_scanned(workdir):
         state = pickle.load(f)
     sigma = np.asarray(state["params"]["sigma"])
     assert np.all(sigma >= 0.01 - 1e-7) and np.all(sigma <= 0.1 + 1e-7)
+
+
+def test_semi_dp_mesh_scanned(workdir):
+    """Semi-supervised under --dp: both streams sharded, per-shard labeled
+    cycling, gradient pmean per step."""
+    from cdgvae_tpu.cli import main_semi
+    out = os.path.join(workdir, "semi_dp")
+    main_semi.main(SMALL + ["--labeled_ratio", "0.3", "--batch_sizeL", "8",
+                            "--epochs", "2", "--batch_size", "16",
+                            "--dp", "8", "--assets_dir", out])
+    assert os.path.exists(os.path.join(out, "model_CDGVAEsemi_nonlinear",
+                                       "state.pkl"))
+
+
+def test_dr_semi_dp_mesh_scanned(workdir):
+    """DR semi-supervised under --dp."""
+    from cdgvae_tpu.cli import dr_main_semi
+    out = os.path.join(workdir, "dr_semi_dp")
+    dr_main_semi.main(SMALL + ["--labeled_ratio", "0.3",
+                               "--batch_sizeL", "8", "--epochs", "2",
+                               "--batch_size", "16", "--dp", "8",
+                               "--assets_dir", out])
+    assert os.path.exists(os.path.join(
+        out, "model_DR_CDGVAEsemi_nonlinear", "state.pkl"))
+
+
+def test_celeba_dp_mesh_scanned(workdir):
+    """CelebA under --dp: sharded scanned trainer with the dual-latent L1
+    loss (the family where DP genuinely pays)."""
+    from cdgvae_tpu.cli import celeba_main
+    out = os.path.join(workdir, "celeba_dp")
+    celeba_main.main(["--img_size", "32", "--conv_dim", "4", "--epochs", "2",
+                      "--batch_size", "8", "--dp", "8",
+                      "--data_dir", "/nonexistent", "--assets_dir", out])
+    assert os.path.exists(os.path.join(out, "celeba_CDGVAE_linear",
+                                       "state.pkl"))
