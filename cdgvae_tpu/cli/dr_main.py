@@ -121,6 +121,33 @@ def main(argv=None):
             on_epoch=on_epoch, post_epoch=post_epoch,
             post_epoch_pred=lambda e: e % 10 == 0,
             make_runner=make_runner)
+    elif config["model"] == "InfoMax" and not config["eager"]:
+        # InfoMax scanned (pair states), single-device or mesh — same
+        # wiring as cli.main
+        from ..train.steps import (pair_infomax_step, make_infomax_loss_fn,
+                                   pair_infomax_optimizer)
+        raw = pair_infomax_step(make_infomax_step(
+            model, discriminator, optimizer, optimizer_d, config["beta"],
+            config["lambda"], config["gamma"], jit=False))
+        make_runner = None
+        xd, yd = x_data, y_data
+        if mesh is not None:
+            from .common import sharded_scan_setup
+            xd, yd, make_runner = sharded_scan_setup(
+                mesh, x_data, y_data,
+                make_infomax_loss_fn(model, discriminator, config["beta"],
+                                     config["lambda"], config["gamma"]),
+                pair_infomax_optimizer(optimizer, optimizer_d),
+                config["batch_size"])
+        pair = ((state[0], state[1]), (state[2], state[3]))
+        pair = run_scanned_chunks(
+            raw, pair, xd, yd, k_train,
+            epochs=config["epochs"], batch_size=config["batch_size"],
+            on_epoch=on_epoch,
+            post_epoch=lambda s, e: post_epoch((s[0][0],), e),
+            post_epoch_pred=lambda e: e % 10 == 0,
+            make_runner=make_runner)
+        state = (pair[0][0], pair[0][1], pair[1][0], pair[1][1])
     else:
         for epoch in range(config["epochs"]):
             state, metrics = train_epoch(

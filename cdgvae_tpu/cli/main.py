@@ -174,7 +174,6 @@ def main(argv=None):
         print(format_epoch(epoch, metrics))
         logger.log(metrics, step=epoch)
 
-    scanned_ok = mesh is None and not config["eager"]
     pred = lambda e: _ckpt_due(e) or _viz_due(e)  # noqa: E731
     if config["model"] != "InfoMax" and not config["eager"]:
         # scan-compiled trainer: one device dispatch per <=5-epoch chunk
@@ -205,20 +204,34 @@ def main(argv=None):
             batch_size=config["batch_size"], chunk=5,
             on_epoch=_on_epoch, post_epoch=_post_epoch,
             post_epoch_pred=pred, make_runner=make_runner)
-    elif config["model"] == "InfoMax" and scanned_ok:
+    elif config["model"] == "InfoMax" and not config["eager"]:
         # InfoMax under the same scanned trainer: (model, discriminator)
         # params/opt states ride as pairs
         raw = pair_infomax_step(make_infomax_step(
             model, discriminator, optimizer, optimizer_d, config["beta"],
             config["lambda"], config["gamma"], jit=False))
+        make_runner = None
+        xd, yd = x_data, y_data
+        if mesh is not None:
+            # multi-chip: the joint (γ+1)·MI loss over the pair pytree
+            # with the fused pair optimizer (state layout unchanged)
+            from ..train.steps import (make_infomax_loss_fn,
+                                       pair_infomax_optimizer)
+            from .common import sharded_scan_setup
+            xd, yd, make_runner = sharded_scan_setup(
+                mesh, x_data, y_data,
+                make_infomax_loss_fn(model, discriminator, config["beta"],
+                                     config["lambda"], config["gamma"]),
+                pair_infomax_optimizer(optimizer, optimizer_d),
+                config["batch_size"])
         pair = ((state[0], state[1]), (state[2], state[3]))
         pair = run_scanned_chunks(
-            raw, pair, x_data, y_data, k_train,
+            raw, pair, xd, yd, k_train,
             epochs=config["epochs"], start_epoch=start_epoch,
             batch_size=config["batch_size"], chunk=5,
             on_epoch=_on_epoch,
             post_epoch=lambda s, e: _post_epoch((s[0][0], s[1][0]), e),
-            post_epoch_pred=pred)
+            post_epoch_pred=pred, make_runner=make_runner)
         state = (pair[0][0], pair[0][1], pair[1][0], pair[1][1])
     else:
         for epoch in range(start_epoch, config["epochs"]):

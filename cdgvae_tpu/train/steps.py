@@ -83,13 +83,10 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
     return _jit_step(step, mesh, donate, n_batch_args=2)
 
 
-def make_infomax_step(model, discriminator,
-                      optimizer: optax.GradientTransformation,
-                      optimizer_d: optax.GradientTransformation,
-                      beta: float, lam: float, gamma: float,
-                      mesh=None, donate: bool = True,
-                      jit: bool = True) -> Callable:
-    """InfoMax step (reference train_InfoMax, modules/train.py:71-148).
+def make_infomax_loss_fn(model, discriminator, beta: float, lam: float,
+                         gamma: float) -> Callable:
+    """InfoMax joint loss over ``both = (model_params, d_params)``
+    (reference train_InfoMax, modules/train.py:71-148).
 
     Faithfully reproduces the reference's double-backward gradient flow:
     ``loss.backward(retain_graph=True)`` followed by ``MI.backward()`` means
@@ -117,6 +114,43 @@ def make_infomax_step(model, discriminator,
         metrics = _metrics(ref_loss, recon, kl, align, out.logvar, node,
                            {"MutualInfo": mi})
         return grad_target, metrics
+
+    return loss_fn
+
+
+def pair_infomax_optimizer(optimizer: optax.GradientTransformation,
+                           optimizer_d: optax.GradientTransformation
+                           ) -> optax.GradientTransformation:
+    """Fuse the (model, discriminator) optimizers into ONE transformation
+    over the pair pytree ``(params, d_params)`` — update-identical to
+    applying them separately, which lets the InfoMax pair state ride any
+    single-optimizer runner (e.g. the sharded scanned trainer). The fused
+    state is the plain ``(opt_state, opt_state_d)`` tuple, so it
+    interoperates with the 4-tuple step/checkpoint layout."""
+
+    def init(both):
+        return (optimizer.init(both[0]), optimizer_d.init(both[1]))
+
+    def update(grads, state, params=None):
+        g, g_d = grads
+        op, od = state
+        p, d = params if params is not None else (None, None)
+        u, op = optimizer.update(g, op, p)
+        u_d, od = optimizer_d.update(g_d, od, d)
+        return (u, u_d), (op, od)
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_infomax_step(model, discriminator,
+                      optimizer: optax.GradientTransformation,
+                      optimizer_d: optax.GradientTransformation,
+                      beta: float, lam: float, gamma: float,
+                      mesh=None, donate: bool = True,
+                      jit: bool = True) -> Callable:
+    """InfoMax step — see :func:`make_infomax_loss_fn` for the gradient-flow
+    contract."""
+    loss_fn = make_infomax_loss_fn(model, discriminator, beta, lam, gamma)
 
     def step(params, d_params, opt_state, opt_state_d, x, y, rng):
         (_, metrics), (g, g_d) = jax.value_and_grad(

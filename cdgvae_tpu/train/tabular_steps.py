@@ -90,13 +90,12 @@ def make_tabular_step(model, optimizer: optax.GradientTransformation,
     return _jit_step(step, mesh, donate, n_batch_args=2)
 
 
-def make_tabular_infomax_step(model, discriminator,
-                              optimizer, optimizer_d,
-                              beta: float, lam: float, gamma: float,
-                              recon_fn: Callable, mesh=None,
-                              donate: bool = True) -> Callable:
-    """Tabular InfoMax step (train.py:102-171); same (γ+1)·MI double-backward
-    gradient flow as the pendulum family."""
+def make_tabular_infomax_loss_fn(model, discriminator, beta: float,
+                                 lam: float, gamma: float,
+                                 recon_fn: Callable) -> Callable:
+    """Tabular InfoMax joint loss over ``both = (params, d_params)``
+    (train.py:102-171); same (γ+1)·MI double-backward gradient flow as the
+    pendulum family."""
     node = model.node
 
     def loss_fn(both, x, y, rng):
@@ -115,6 +114,19 @@ def make_tabular_infomax_step(model, discriminator,
                            {"MutualInfo": mi})
         return ref_loss + mi, metrics
 
+    return loss_fn
+
+
+def make_tabular_infomax_step(model, discriminator,
+                              optimizer, optimizer_d,
+                              beta: float, lam: float, gamma: float,
+                              recon_fn: Callable, mesh=None,
+                              donate: bool = True,
+                              jit: bool = True) -> Callable:
+    """Tabular InfoMax step — see :func:`make_tabular_infomax_loss_fn`."""
+    loss_fn = make_tabular_infomax_loss_fn(model, discriminator, beta, lam,
+                                           gamma, recon_fn)
+
     def step(params, d_params, opt_state, opt_state_d, x, y, rng):
         (_, metrics), (g, g_d) = jax.value_and_grad(
             loss_fn, has_aux=True)((params, d_params), x, y, rng)
@@ -125,6 +137,8 @@ def make_tabular_infomax_step(model, discriminator,
         d_params = optax.apply_updates(d_params, updates_d)
         return params, d_params, opt_state, opt_state_d, metrics
 
+    if not jit:
+        return step
     return _jit_step(step, mesh, donate, n_batch_args=2, n_state_args=4)
 
 

@@ -251,3 +251,42 @@ def test_celeba_dp_mesh_scanned(workdir):
                       "--data_dir", "/nonexistent", "--assets_dir", out])
     assert os.path.exists(os.path.join(out, "celeba_CDGVAE_linear",
                                        "state.pkl"))
+
+
+def test_infomax_dp_mesh_scanned(workdir):
+    """InfoMax under --dp: joint (γ+1)·MI loss over the pair pytree with
+    the fused pair optimizer on the sharded scanned trainer."""
+    from cdgvae_tpu.cli import main
+    out = os.path.join(workdir, "infomax_dp")
+    main.main(SMALL + ["--model", "InfoMax", "--epochs", "2",
+                       "--batch_size", "16", "--dp", "8",
+                       "--assets_dir", out])
+    assert os.path.exists(os.path.join(out, "model_InfoMax_linear",
+                                       "state.pkl"))
+
+
+def test_dr_infomax_scanned(workdir):
+    """DR InfoMax now rides the scanned pair trainer (was eager-only)."""
+    from cdgvae_tpu.cli import dr_main
+    out = os.path.join(workdir, "dr_infomax")
+    dr_main.main(SMALL + ["--model", "InfoMax", "--epochs", "2",
+                          "--assets_dir", out])
+    assert os.path.exists(os.path.join(out, "model_DR_InfoMax_linear",
+                                       "state.pkl"))
+
+
+def test_tabular_infomax_scanned_and_dp(workdir):
+    """Tabular InfoMax rides the scanned pair trainer, incl. under --dp."""
+    from cdgvae_tpu.cli import tabular_main
+    out = os.path.join(workdir, "tab_infomax")
+    tabular_main.main(["--dataset", "loan", "--model", "InfoMax",
+                       "--epochs", "2", "--batch_size", "128",
+                       "--assets_dir", out, "--data_dir", "/nonexistent"])
+    assert os.path.exists(os.path.join(out, "tabular_InfoMax_loan",
+                                       "state.pkl"))
+    out = os.path.join(workdir, "tab_infomax_dp")
+    tabular_main.main(["--dataset", "loan", "--model", "InfoMax",
+                       "--epochs", "2", "--batch_size", "128", "--dp", "8",
+                       "--assets_dir", out, "--data_dir", "/nonexistent"])
+    assert os.path.exists(os.path.join(out, "tabular_InfoMax_loan",
+                                       "state.pkl"))

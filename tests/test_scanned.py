@@ -193,3 +193,32 @@ def test_sharded_from_loss_applies_post_update():
     # gradient alone would push sigma to 0.05 - 9*0.05 < 0; the clamp holds
     assert np.all(sigma >= 0.01 - 1e-7) and np.all(sigma <= 0.1 + 1e-7)
     assert np.all(np.isfinite(np.asarray(ms["loss"])))
+
+
+def test_pair_infomax_optimizer_matches_separate():
+    """The fused (model, discriminator) pair optimizer produces updates and
+    states IDENTICAL to applying the two optimizers separately."""
+    from cdgvae_tpu.train.steps import pair_infomax_optimizer
+
+    opt_m, opt_d = optax.adam(1e-3), optax.adam(1e-4)
+    pair_tx = pair_infomax_optimizer(opt_m, opt_d)
+    rng = np.random.default_rng(0)
+    p = {"w": jnp.asarray(rng.normal(size=(3, 2)), jnp.float32)}
+    d = {"v": jnp.asarray(rng.normal(size=(4,)), jnp.float32)}
+    gp = {"w": jnp.asarray(rng.normal(size=(3, 2)), jnp.float32)}
+    gd = {"v": jnp.asarray(rng.normal(size=(4,)), jnp.float32)}
+
+    pair_state = pair_tx.init((p, d))
+    sm, sd = opt_m.init(p), opt_d.init(d)
+    for _ in range(3):
+        (up, ud), pair_state = pair_tx.update((gp, gd), pair_state, (p, d))
+        um, sm = opt_m.update(gp, sm, p)
+        umd, sd = opt_d.update(gd, sd, d)
+        for a, b in zip(jax.tree_util.tree_leaves((up, ud)),
+                        jax.tree_util.tree_leaves((um, umd))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        p = optax.apply_updates(p, up)
+        d = optax.apply_updates(d, ud)
+    for a, b in zip(jax.tree_util.tree_leaves(pair_state),
+                    jax.tree_util.tree_leaves((sm, sd))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
