@@ -98,6 +98,7 @@ def main(argv=None):
     # jit the recon viz: the SAGAN forward is hundreds of ops — run
     # eagerly, each would be its own device dispatch
     n_viz = min(9, len(x_data))
+    x_viz = x_data[:n_viz]
     viz_fwd = jax.jit(lambda p, x, r: model(p, x, rng=r).xhat)
 
     def on_epoch(epoch, metrics):
@@ -105,7 +106,7 @@ def main(argv=None):
         logger.log(metrics, step=epoch)
 
     def post_epoch(state, epoch):
-        xhat = viz_fwd(state[0], x_data[:n_viz],
+        xhat = viz_fwd(state[0], x_viz,
                        jax.random.fold_in(k_train, 2**31))
         viz_recon_grid(np.asarray(xhat),
                        f"{config['assets_dir']}/tmp_image_{epoch}.png",
@@ -132,6 +133,9 @@ def main(argv=None):
                                     config["lambda"],
                                     compute_dtype=compute_dtype),
                 optimizer, config["batch_size"])
+            # at 128px the dataset is GBs: release the unsharded copy
+            # (viz keeps only the n_viz-row slice)
+            x_data = y_data = None
         state = run_scanned_chunks(
             raw, state, xd, yd, k_train,
             epochs=config["epochs"], batch_size=config["batch_size"],

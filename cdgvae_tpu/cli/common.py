@@ -57,41 +57,68 @@ def add_png_data_dir_arg(parser: argparse.ArgumentParser):
     return parser
 
 
-def resolve_mesh(config: dict):
-    """Build the dp mesh per --dp; None means single-device execution."""
+def resolve_mesh(config: dict, extra_batch_sizes=()):
+    """Build the dp mesh per --dp; None means single-device execution.
+
+    Every batch size the entry point trains with (``batch_size`` plus any
+    in ``extra_batch_sizes``, e.g. the semi-supervised labeled stream's
+    ``batch_sizeL``) must divide over the devices: with auto ``--dp 0``
+    a non-divisible size falls back to single-device, with an explicit
+    ``--dp N`` it raises.
+    """
     n_dev = len(jax.devices())
     dp = config.get("dp", 0)
     if dp == 1 or (dp == 0 and n_dev == 1):
         return None
     n = dp if dp > 0 else n_dev
-    if config["batch_size"] % n != 0:
-        if dp > 0:
-            raise ValueError(
-                f"batch_size {config['batch_size']} not divisible by dp={n}")
-        return None
+    for name, bs in [("batch_size", config["batch_size"])] + [
+            ("extra batch size", b) for b in extra_batch_sizes]:
+        if bs % n != 0:
+            if dp > 0:
+                raise ValueError(f"{name} {bs} not divisible by dp={n}")
+            return None
     return make_mesh(n)
+
+
+def _shard_over_dp(mesh, arrays):
+    """Reshard device-resident arrays over the dp axis (rows not divisible
+    by the device count are dropped) — a device-to-device reshard, no host
+    round-trip."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = mesh.devices.size
+    sh = NamedSharding(mesh, P("dp"))
+    out = []
+    for a in arrays:
+        n = (len(a) // n_dev) * n_dev
+        if n == 0:
+            raise ValueError(
+                f"dataset ({len(a)} rows) smaller than the device count "
+                f"({n_dev}); use fewer devices (--dp) or more data")
+        out.append(jax.device_put(a[:n], sh))
+    return out
 
 
 def sharded_scan_setup(mesh, x_data, y_data, loss_fn, optimizer,
                        batch_size: int, post_update=None):
     """Wire a CLI onto the multi-chip shard_map scanned trainer: shard the
-    dataset over the dp axis (rows not divisible by the device count are
-    dropped) and build the ``make_runner`` hook for
+    dataset over the dp axis and build the ``make_runner`` hook for
     ``train.loop.run_scanned_chunks``. Per-shard shuffling and one gradient
-    pmean per step over ICI (see train/scanned.py).
+    pmean per step over ICI (see train/scanned.py). ``batch_size`` is
+    clamped to the (trimmed) dataset size for smaller-than-batch smoke runs,
+    mirroring run_scanned_chunks' single-device clamp.
+
+    NOTE: the returned sharded arrays are a second copy of the dataset —
+    callers that keep the original device-resident arrays alive (e.g. for
+    viz) should retain only the slice they need.
 
     Returns (x_sharded, y_sharded, make_runner).
     """
-    import numpy as np
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
     from ..train.scanned import make_sharded_scanned_epochs_from_loss
 
-    n_dev = mesh.devices.size
-    n = (len(x_data) // n_dev) * n_dev
-    sh = NamedSharding(mesh, P("dp"))
-    xd = jax.device_put(np.asarray(x_data[:n]), sh)
-    yd = jax.device_put(np.asarray(y_data[:n]), sh)
+    xd, yd = _shard_over_dp(mesh, (x_data, y_data))
+    # both operands are multiples of n_dev, so the clamp stays divisible
+    batch_size = min(batch_size, len(xd))
 
     def make_runner(n_epochs):
         return make_sharded_scanned_epochs_from_loss(
@@ -105,23 +132,16 @@ def sharded_scan_setup_semi(mesh, x_u, x_l, y_l, loss_fn, optimizer,
                             batch_size: int, batch_size_l: int):
     """Semi-supervised variant of :func:`sharded_scan_setup`: shard both
     streams over the dp axis (each device cycles its own labeled shard) and
-    build the ``make_runner`` hook.
+    build the ``make_runner`` hook. Both batch sizes are clamped to their
+    (trimmed) stream sizes.
 
     Returns (x_u_sharded, x_l_sharded, y_l_sharded, make_runner).
     """
-    import numpy as np
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
     from ..train.scanned import make_sharded_scanned_epochs_semi_from_loss
 
-    n_dev = mesh.devices.size
-    sh = NamedSharding(mesh, P("dp"))
-
-    def shard(a):
-        n = (len(a) // n_dev) * n_dev
-        return jax.device_put(np.asarray(a[:n]), sh)
-
-    xu, xl, yl = shard(x_u), shard(x_l), shard(y_l)
+    xu, xl, yl = _shard_over_dp(mesh, (x_u, x_l, y_l))
+    batch_size = min(batch_size, len(xu))
+    batch_size_l = min(batch_size_l, len(xl))
 
     def make_runner(n_epochs):
         return make_sharded_scanned_epochs_semi_from_loss(

@@ -126,6 +126,7 @@ def main(argv=None):
         # wiring as cli.main
         from ..train.steps import (pair_infomax_step, make_infomax_loss_fn,
                                    pair_infomax_optimizer)
+        from ..train.loop import run_scanned_chunks_pair
         raw = pair_infomax_step(make_infomax_step(
             model, discriminator, optimizer, optimizer_d, config["beta"],
             config["lambda"], config["gamma"], jit=False))
@@ -136,18 +137,17 @@ def main(argv=None):
             xd, yd, make_runner = sharded_scan_setup(
                 mesh, x_data, y_data,
                 make_infomax_loss_fn(model, discriminator, config["beta"],
-                                     config["lambda"], config["gamma"]),
+                                     config["lambda"], config["gamma"],
+                                     marginal="roll"),
                 pair_infomax_optimizer(optimizer, optimizer_d),
                 config["batch_size"])
-        pair = ((state[0], state[1]), (state[2], state[3]))
-        pair = run_scanned_chunks(
-            raw, pair, xd, yd, k_train,
+        state = run_scanned_chunks_pair(
+            raw, state, xd, yd, k_train,
             epochs=config["epochs"], batch_size=config["batch_size"],
             on_epoch=on_epoch,
             post_epoch=lambda s, e: post_epoch((s[0][0],), e),
             post_epoch_pred=lambda e: e % 10 == 0,
             make_runner=make_runner)
-        state = (pair[0][0], pair[0][1], pair[1][0], pair[1][1])
     else:
         for epoch in range(config["epochs"]):
             state, metrics = train_epoch(

@@ -18,7 +18,8 @@ from ..factory import build_pendulum_model
 from ..train.steps import (make_train_step, make_infomax_step,
                            pair_infomax_step)
 from ..train.loop import train_epoch, format_epoch
-from ..train.loop import run_scanned_chunks  # noqa: F401 (re-exported)
+from ..train.loop import (run_scanned_chunks,  # noqa: F401 (re-exported)
+                          run_scanned_chunks_pair)
 from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
@@ -214,25 +215,26 @@ def main(argv=None):
         xd, yd = x_data, y_data
         if mesh is not None:
             # multi-chip: the joint (γ+1)·MI loss over the pair pytree
-            # with the fused pair optimizer (state layout unchanged)
+            # with the fused pair optimizer (state layout unchanged).
+            # marginal="roll" keeps the per-device MI marginal
+            # non-degenerate at small local batches (see marginal_epsilon)
             from ..train.steps import (make_infomax_loss_fn,
                                        pair_infomax_optimizer)
             from .common import sharded_scan_setup
             xd, yd, make_runner = sharded_scan_setup(
                 mesh, x_data, y_data,
                 make_infomax_loss_fn(model, discriminator, config["beta"],
-                                     config["lambda"], config["gamma"]),
+                                     config["lambda"], config["gamma"],
+                                     marginal="roll"),
                 pair_infomax_optimizer(optimizer, optimizer_d),
                 config["batch_size"])
-        pair = ((state[0], state[1]), (state[2], state[3]))
-        pair = run_scanned_chunks(
-            raw, pair, xd, yd, k_train,
+        state = run_scanned_chunks_pair(
+            raw, state, xd, yd, k_train,
             epochs=config["epochs"], start_epoch=start_epoch,
             batch_size=config["batch_size"], chunk=5,
             on_epoch=_on_epoch,
             post_epoch=lambda s, e: _post_epoch((s[0][0], s[1][0]), e),
             post_epoch_pred=pred, make_runner=make_runner)
-        state = (pair[0][0], pair[0][1], pair[1][0], pair[1][1])
     else:
         for epoch in range(start_epoch, config["epochs"]):
             state, metrics = train_epoch(

@@ -88,31 +88,34 @@ def main(argv=None):
         print(format_epoch(epoch, metrics))
         logger.log(metrics, step=epoch)
 
+    mesh = resolve_mesh(config, extra_batch_sizes=(config["batch_sizeL"],))
     if config["eager"]:
-        # the reference's exact per-batch protocol (partial batches kept)
+        # the reference's exact per-batch protocol (partial batches
+        # dropped only when a mesh requires fixed per-device shapes)
         step = make_semi_step(model, optimizer, config["beta"],
-                              config["lambda"])
+                              config["lambda"], mesh=mesh)
         shuffle_rng = np.random.default_rng(config["seed"])
         for epoch in range(config["epochs"]):
             state, metrics = train_epoch_semi(
                 step, state, x_u, x_l, y_l, config["batch_size"],
-                config["batch_sizeL"], k_train, epoch, shuffle_rng)
+                config["batch_sizeL"], k_train, epoch, shuffle_rng,
+                drop_remainder=mesh is not None)
             on_epoch(epoch, metrics)
     else:
         raw = make_semi_step(model, optimizer, config["beta"],
                              config["lambda"], jit=False)
         bs = min(config["batch_size"], len(x_u))
         bs_l = min(config["batch_sizeL"], len(x_l))
-        mesh = resolve_mesh(config)
         if mesh is not None:
             # multi-chip: both streams sharded over dp, per-shard labeled
-            # cycling, one gradient pmean per step over ICI
+            # cycling, one gradient pmean per step over ICI (the setup
+            # clamps the batch sizes against the trimmed streams)
             from ..train.steps import make_semi_loss_fn
             from .common import sharded_scan_setup_semi
             xu, xl, yl, make_runner = sharded_scan_setup_semi(
                 mesh, x_u, x_l, y_l,
                 make_semi_loss_fn(model, config["beta"], config["lambda"]),
-                optimizer, bs, bs_l)
+                optimizer, config["batch_size"], config["batch_sizeL"])
             batch_args = (xu, xl, yl)
         else:
             batch_args = (x_u, x_l, y_l)

@@ -115,6 +115,7 @@ def main(argv=None):
         # InfoMax scanned (pair states), single-device or mesh
         from ..train.steps import pair_infomax_step, pair_infomax_optimizer
         from ..train.tabular_steps import make_tabular_infomax_loss_fn
+        from ..train.loop import run_scanned_chunks_pair
         raw = pair_infomax_step(make_tabular_infomax_step(
             model, discriminator, optimizer, optimizer_d, config["beta"],
             config["lambda"], config["gamma"], recon_fn, jit=False))
@@ -126,15 +127,13 @@ def main(argv=None):
                 mesh, x_data, y_data,
                 make_tabular_infomax_loss_fn(
                     model, discriminator, config["beta"], config["lambda"],
-                    config["gamma"], recon_fn),
+                    config["gamma"], recon_fn, marginal="roll"),
                 pair_infomax_optimizer(optimizer, optimizer_d),
                 config["batch_size"])
-        pair = ((state[0], state[1]), (state[2], state[3]))
-        pair = run_scanned_chunks(
-            raw, pair, xd, yd, k_train,
+        state = run_scanned_chunks_pair(
+            raw, state, xd, yd, k_train,
             epochs=config["epochs"], batch_size=config["batch_size"],
             chunk=25, on_epoch=on_epoch, make_runner=make_runner)
-        state = (pair[0][0], pair[0][1], pair[1][0], pair[1][1])
     else:
         for epoch in range(config["epochs"]):
             state, metrics = train_epoch(

@@ -64,15 +64,23 @@ def train_epoch_semi(step: Callable, state: tuple, x_u, x_l, y_l,
                      drop_remainder: bool = False) -> tuple[tuple, dict]:
     """Semi-supervised epoch: iterate the unlabeled loader, cycling the
     labeled loader with reshuffle-on-exhaustion (reference
-    modules/train.py:222-231)."""
+    modules/train.py:222-231). ``drop_remainder`` applies to BOTH streams
+    (a sharded step needs fixed per-device shapes; the reference keeps
+    short batches — single-device default)."""
+    if drop_remainder and len(x_l) < batch_size_l:
+        raise ValueError(
+            f"labeled stream ({len(x_l)}) smaller than batch_sizeL "
+            f"({batch_size_l}) with drop_remainder; lower batch_sizeL")
     avg = Averager()
-    labeled_iter = batch_indices(len(x_l), batch_size_l, shuffle_rng)
+    labeled_iter = batch_indices(len(x_l), batch_size_l, shuffle_rng,
+                                 drop_remainder)
     for b, idx_u in enumerate(batch_indices(len(x_u), batch_size,
                                             shuffle_rng, drop_remainder)):
         try:
             idx_l = next(labeled_iter)
         except StopIteration:
-            labeled_iter = batch_indices(len(x_l), batch_size_l, shuffle_rng)
+            labeled_iter = batch_indices(len(x_l), batch_size_l, shuffle_rng,
+                                         drop_remainder)
             idx_l = next(labeled_iter)
         step_rng = jax.random.fold_in(jax.random.fold_in(rng, epoch), b)
         *state, metrics = step(*state, x_u[idx_u], x_l[idx_l], y_l[idx_l],
@@ -152,3 +160,15 @@ def run_scanned_chunks(raw_step: Callable, state: tuple, x, y, rng,
             # exact: state is the post-(epoch-1) state at a chunk boundary
             post_epoch(state, epoch - 1)
     return state
+
+
+def run_scanned_chunks_pair(raw_step: Callable, state4: tuple, x, y, rng,
+                            **kwargs) -> tuple:
+    """InfoMax adapter for :func:`run_scanned_chunks`: packs the 4-tuple
+    ``(params, d_params, opt_state, opt_state_d)`` into the
+    ``((params, d_params), (opt, opt_d))`` pair layout the scanned runners
+    expect, and unpacks the result. ``post_epoch`` (if given) receives the
+    pair state — its [0][0] is the model params."""
+    pair = ((state4[0], state4[1]), (state4[2], state4[3]))
+    pair = run_scanned_chunks(raw_step, pair, x, y, rng, **kwargs)
+    return (pair[0][0], pair[0][1], pair[1][0], pair[1][1])

@@ -83,8 +83,31 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
     return _jit_step(step, mesh, donate, n_batch_args=2)
 
 
+def marginal_epsilon(epsilon, rng, mode: str = "permutation"):
+    """Mismatch ε against x for the InfoMax marginal term.
+
+    ``"permutation"`` — the reference's in-batch shuffle
+    (modules/train.py:120). ``"roll"`` — a random cyclic shift by
+    1..B-1 rows: unlike a permutation (identity with probability 1/B!,
+    and fixed points in expectation), a roll NEVER pairs a sample with
+    its own ε, so the marginal stays informative at the small
+    per-device batches of the sharded trainer (batch_size/n_dev rows).
+    """
+    n = epsilon.shape[0]
+    if mode == "roll":
+        if n < 2:  # static shape: raises at trace time
+            raise ValueError(
+                "InfoMax marginal needs a local batch of >= 2 (got "
+                f"{n}); raise batch_size or lower the device count")
+        shift = jax.random.randint(rng, (), 1, n)
+        return jnp.roll(epsilon, shift, axis=0)
+    perm = jax.random.permutation(rng, n)
+    return epsilon[perm]
+
+
 def make_infomax_loss_fn(model, discriminator, beta: float, lam: float,
-                         gamma: float) -> Callable:
+                         gamma: float,
+                         marginal: str = "permutation") -> Callable:
     """InfoMax joint loss over ``both = (model_params, d_params)``
     (reference train_InfoMax, modules/train.py:71-148).
 
@@ -93,6 +116,9 @@ def make_infomax_loss_fn(model, discriminator, beta: float, lam: float,
     BOTH the model and the discriminator accumulate (gamma+1)·∂MI — so here a
     single joint grad of ``recon + β·KL + λ·align + (γ+1)·MI`` over
     (model, discriminator) params reproduces the exact update.
+
+    ``marginal``: see :func:`marginal_epsilon` — use ``"roll"`` inside the
+    sharded trainer where the loss sees only a per-device batch slice.
     """
     node = model.node
 
@@ -105,8 +131,8 @@ def make_infomax_loss_fn(model, discriminator, beta: float, lam: float,
         align = losses.alignment_bce(out.align_latent, y[:, :node])
 
         d_joint = discriminator(d_params, x, out.epsilon)
-        perm = jax.random.permutation(r_perm, x.shape[0])
-        d_marginal = discriminator(d_params, x, out.epsilon[perm])
+        d_marginal = discriminator(
+            d_params, x, marginal_epsilon(out.epsilon, r_perm, marginal))
         mi = losses.infomax_mi(d_joint, d_marginal)
 
         ref_loss = recon + beta * kl + lam * align + gamma * mi

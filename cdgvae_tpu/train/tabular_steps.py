@@ -92,10 +92,13 @@ def make_tabular_step(model, optimizer: optax.GradientTransformation,
 
 def make_tabular_infomax_loss_fn(model, discriminator, beta: float,
                                  lam: float, gamma: float,
-                                 recon_fn: Callable) -> Callable:
+                                 recon_fn: Callable,
+                                 marginal: str = "permutation") -> Callable:
     """Tabular InfoMax joint loss over ``both = (params, d_params)``
     (train.py:102-171); same (γ+1)·MI double-backward gradient flow as the
-    pendulum family."""
+    pendulum family. ``marginal``: see steps.marginal_epsilon."""
+    from .steps import marginal_epsilon
+
     node = model.node
 
     def loss_fn(both, x, y, rng):
@@ -106,8 +109,8 @@ def make_tabular_infomax_loss_fn(model, discriminator, beta: float,
         kl = losses.kl_std_normal(out.mean, out.logvar)
         align = losses.alignment_bce(out.align_latent, y)
         d_joint = discriminator(d_params, x, out.epsilon)
-        perm = jax.random.permutation(r_perm, x.shape[0])
-        d_marginal = discriminator(d_params, x, out.epsilon[perm])
+        d_marginal = discriminator(
+            d_params, x, marginal_epsilon(out.epsilon, r_perm, marginal))
         mi = losses.infomax_mi(d_joint, d_marginal)
         ref_loss = recon + beta * kl + lam * align + gamma * mi
         metrics = _metrics(ref_loss, recon, kl, align, out.logvar, node,

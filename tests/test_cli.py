@@ -290,3 +290,14 @@ def test_tabular_infomax_scanned_and_dp(workdir):
                        "--assets_dir", out, "--data_dir", "/nonexistent"])
     assert os.path.exists(os.path.join(out, "tabular_InfoMax_loan",
                                        "state.pkl"))
+
+
+def test_dp_smoke_batch_clamp(workdir):
+    """--dp with a smaller-than-batch dataset clamps the batch like the
+    single-device path instead of failing at trace time."""
+    from cdgvae_tpu.cli import main
+    out = os.path.join(workdir, "dp_clamp")
+    main.main(["--image_size", "16", "--n_samples", "100", "--epochs", "2",
+               "--batch_size", "128", "--dp", "8", "--assets_dir", out])
+    assert os.path.exists(os.path.join(out, "model_CDGVAE_linear",
+                                       "state.pkl"))

@@ -222,3 +222,26 @@ def test_pair_infomax_optimizer_matches_separate():
     for a, b in zip(jax.tree_util.tree_leaves(pair_state),
                     jax.tree_util.tree_leaves((sm, sd))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_marginal_epsilon_roll_never_identity():
+    """The 'roll' marginal (used by the sharded InfoMax trainer) never
+    pairs a row with its own epsilon — even at local batch 2, where a
+    random permutation is the identity half the time."""
+    from cdgvae_tpu.train.steps import marginal_epsilon
+
+    for n in (2, 3, 16):
+        eps = jnp.arange(n, dtype=jnp.float32)[:, None]
+        for seed in range(20):
+            rolled = np.asarray(marginal_epsilon(
+                eps, jax.random.key(seed), "roll"))
+            assert not np.any(rolled[:, 0] == np.arange(n)), (n, seed)
+    # permutation mode reproduces the reference's shuffle (a permutation)
+    eps = jnp.arange(8, dtype=jnp.float32)[:, None]
+    out = np.asarray(marginal_epsilon(eps, jax.random.key(0),
+                                      "permutation"))
+    assert sorted(out[:, 0].tolist()) == list(range(8))
+    # roll with a single-row batch is a trace-time error
+    import pytest
+    with pytest.raises(ValueError):
+        marginal_epsilon(jnp.ones((1, 2)), jax.random.key(0), "roll")
