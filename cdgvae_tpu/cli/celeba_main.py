@@ -23,7 +23,8 @@ from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
 from ..utils.viz import viz_recon_grid
-from .common import add_infra_args, resolve_mesh
+from .common import (add_infra_args, resolve_mesh,
+                     add_resume_arg, apply_resume)
 
 
 def get_args(debug: bool = False, argv=None):
@@ -57,6 +58,7 @@ def get_args(debug: bool = False, argv=None):
                         help="run the network in bfloat16 (params/losses "
                              "stay f32) — pays on this conv/MXU-bound "
                              "family, unlike the pendulum MLPs")
+    add_resume_arg(parser)
     add_infra_args(parser)
     if debug:
         return parser.parse_args(args=[])
@@ -93,6 +95,7 @@ def main(argv=None):
     optimizer = optax.adam(config["lr"])
     compute_dtype = jnp.bfloat16 if config["bf16"] else None
     state = (params, optimizer.init(params))
+    state, start_epoch = apply_resume(config, state)
 
     os.makedirs(config["assets_dir"], exist_ok=True)
     # jit the recon viz: the SAGAN forward is hundreds of ops — run
@@ -138,15 +141,16 @@ def main(argv=None):
             x_data = y_data = None
         state = run_scanned_chunks(
             raw, state, xd, yd, k_train,
-            epochs=config["epochs"], batch_size=config["batch_size"],
+            epochs=config["epochs"], start_epoch=start_epoch,
+            batch_size=config["batch_size"],
             chunk=10, on_epoch=on_epoch, post_epoch=post_epoch,
             make_runner=make_runner)
     else:
         step = make_celeba_step(model, optimizer, config["beta"],
                                 config["lambda"], mesh=mesh,
                                 compute_dtype=compute_dtype)
-        shuffle_rng = np.random.default_rng(config["seed"])
-        for epoch in range(config["epochs"]):
+        shuffle_rng = np.random.default_rng(config["seed"] + start_epoch)
+        for epoch in range(start_epoch, config["epochs"]):
             state, metrics = train_epoch(
                 step, state, x_data, y_data, config["batch_size"], k_train,
                 epoch, shuffle_rng, drop_remainder=True)

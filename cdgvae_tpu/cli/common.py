@@ -44,6 +44,34 @@ def add_infra_args(parser: argparse.ArgumentParser):
     return parser
 
 
+def add_resume_arg(parser: argparse.ArgumentParser):
+    """--resume for the training CLIs (new scope: the reference saves once
+    at the end of training and has no resume path at all, main.py:233)."""
+    parser.add_argument("--resume", default="", type=str,
+                        help="checkpoint directory to resume from (restores "
+                             "params + optimizer state + epoch)")
+    return parser
+
+
+def apply_resume(config: dict, state: tuple):
+    """Restore (params, opt_state) and the start epoch from --resume.
+
+    Returns (state, start_epoch). InfoMax is rejected: its discriminator
+    state is not checkpointed.
+    """
+    if not config.get("resume"):
+        return state, 0
+    from ..utils.checkpoint import load_checkpoint
+
+    if config.get("model") == "InfoMax":
+        raise ValueError("--resume does not restore the InfoMax "
+                         "discriminator state; resume only VAE/CDGVAE")
+    ck = load_checkpoint(config["resume"])
+    state = (jax.device_put(ck["params"]), jax.device_put(ck["opt_state"]))
+    print(f"resumed from {config['resume']} at epoch {ck['step']}")
+    return state, int(ck["step"])
+
+
 def add_png_data_dir_arg(parser: argparse.ArgumentParser):
     """--data_dir for the pendulum/DR image families: load a
     reference-format PNG tree (<dir>/{train,test}/a_*.png, labels in

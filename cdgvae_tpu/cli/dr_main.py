@@ -17,7 +17,8 @@ from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
 from ..utils.viz import viz_recon_grid
-from .common import arg_as_list, add_infra_args, add_png_data_dir_arg, resolve_mesh
+from .common import (arg_as_list, add_infra_args, add_png_data_dir_arg,
+                     resolve_mesh, add_resume_arg, apply_resume)
 
 
 def get_args(debug: bool = False, argv=None):
@@ -42,6 +43,7 @@ def get_args(debug: bool = False, argv=None):
     parser.add_argument("--lambda", default=20, type=float)
     parser.add_argument("--gamma", default=1, type=float)
     add_png_data_dir_arg(parser)
+    add_resume_arg(parser)
     add_infra_args(parser)
     if debug:
         return parser.parse_args(args=[])
@@ -85,7 +87,8 @@ def main(argv=None):
                                config["lambda"], mesh=mesh)
         state = (params, optimizer.init(params))
 
-    shuffle_rng = np.random.default_rng(config["seed"])
+    state, start_epoch = apply_resume(config, state)
+    shuffle_rng = np.random.default_rng(config["seed"] + start_epoch)
     os.makedirs(config["assets_dir"], exist_ok=True)
     viz_fwd = jax.jit(lambda p, x, r: model(p, x, rng=r).xhat)
 
@@ -117,7 +120,8 @@ def main(argv=None):
                 optimizer, config["batch_size"])
         state = run_scanned_chunks(
             raw, state, xd, yd, k_train,
-            epochs=config["epochs"], batch_size=config["batch_size"],
+            epochs=config["epochs"], start_epoch=start_epoch,
+            batch_size=config["batch_size"],
             on_epoch=on_epoch, post_epoch=post_epoch,
             post_epoch_pred=lambda e: e % 10 == 0,
             make_runner=make_runner)
@@ -149,7 +153,7 @@ def main(argv=None):
             post_epoch_pred=lambda e: e % 10 == 0,
             make_runner=make_runner)
     else:
-        for epoch in range(config["epochs"]):
+        for epoch in range(start_epoch, config["epochs"]):
             state, metrics = train_epoch(
                 step, state, x_data, y_data, config["batch_size"], k_train,
                 epoch, shuffle_rng, drop_remainder=mesh is not None)

@@ -20,7 +20,7 @@ from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
 from .common import (arg_as_list, add_infra_args, add_png_data_dir_arg,
-                     resolve_mesh)
+                     resolve_mesh, add_resume_arg, apply_resume)
 
 
 def get_args(debug: bool = False, argv=None):
@@ -43,6 +43,7 @@ def get_args(debug: bool = False, argv=None):
     parser.add_argument("--beta", default=0.1, type=float)
     parser.add_argument("--lambda", default=20, type=float)
     add_png_data_dir_arg(parser)
+    add_resume_arg(parser)
     add_infra_args(parser)
     if debug:
         return parser.parse_args(args=[])
@@ -77,6 +78,7 @@ def main(argv=None):
     params = model.init(k_model)
     optimizer = optax.adam(config["lr"])
     state = (params, optimizer.init(params))
+    state, start_epoch = apply_resume(config, state)
 
     os.makedirs(config["assets_dir"], exist_ok=True)
 
@@ -88,8 +90,8 @@ def main(argv=None):
     if config["eager"]:
         step = make_semi_step(model, optimizer, config["beta"],
                               config["lambda"], mesh=mesh)
-        shuffle_rng = np.random.default_rng(config["seed"])
-        for epoch in range(config["epochs"]):
+        shuffle_rng = np.random.default_rng(config["seed"] + start_epoch)
+        for epoch in range(start_epoch, config["epochs"]):
             state, metrics = train_epoch_semi(
                 step, state, x_u, x_l, y_l, config["batch_size"],
                 config["batch_sizeL"], k_train, epoch, shuffle_rng,
@@ -119,7 +121,8 @@ def main(argv=None):
                                                 n_epochs_per_call=n)
         state = run_scanned_chunks(
             raw, state, batch_args[0], batch_args[2], k_train,
-            epochs=config["epochs"], batch_size=bs, chunk=10,
+            epochs=config["epochs"], start_epoch=start_epoch,
+            batch_size=bs, chunk=10,
             on_epoch=on_epoch, batch_args=batch_args,
             make_runner=make_runner)
 

@@ -128,17 +128,8 @@ def main(argv=None):
                                config["lambda"], mesh=mesh)
         state = (params, opt_state)
 
-    start_epoch = 0
-    if config["resume"]:
-        from ..utils.checkpoint import load_checkpoint
-        ck = load_checkpoint(config["resume"])
-        start_epoch = int(ck["step"])
-        if config["model"] == "InfoMax":
-            raise ValueError("--resume does not restore the InfoMax "
-                             "discriminator state; resume only VAE/CDGVAE")
-        state = (jax.device_put(ck["params"]),
-                 jax.device_put(ck["opt_state"]))
-        print(f"resumed from {config['resume']} at epoch {start_epoch}")
+    from .common import apply_resume
+    state, start_epoch = apply_resume(config, state)
 
     shuffle_rng = np.random.default_rng(config["seed"] + start_epoch)
     os.makedirs(config["assets_dir"], exist_ok=True)

@@ -17,7 +17,8 @@ from ..train.loop import train_epoch, format_epoch, run_scanned_chunks
 from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
-from .common import add_infra_args, resolve_mesh
+from .common import (add_infra_args, resolve_mesh,
+                     add_resume_arg, apply_resume)
 
 
 def get_args(debug: bool = False, argv=None):
@@ -42,6 +43,7 @@ def get_args(debug: bool = False, argv=None):
     parser.add_argument("--data_dir", default="./data", type=str,
                         help="directory with the real CSVs; synthetic "
                              "schema-compatible data is generated if absent")
+    add_resume_arg(parser)
     add_infra_args(parser)
     if debug:
         return parser.parse_args(args=[])
@@ -85,7 +87,8 @@ def main(argv=None):
                                  config["lambda"], recon_fn, mesh=mesh)
         state = (params, optimizer.init(params))
 
-    shuffle_rng = np.random.default_rng(config["seed"])
+    state, start_epoch = apply_resume(config, state)
+    shuffle_rng = np.random.default_rng(config["seed"] + start_epoch)
     os.makedirs(config["assets_dir"], exist_ok=True)
 
     def on_epoch(epoch, metrics):
@@ -109,7 +112,8 @@ def main(argv=None):
                 optimizer, config["batch_size"])
         state = run_scanned_chunks(
             raw, state, xd, yd, k_train,
-            epochs=config["epochs"], batch_size=config["batch_size"],
+            epochs=config["epochs"], start_epoch=start_epoch,
+            batch_size=config["batch_size"],
             chunk=25, on_epoch=on_epoch, make_runner=make_runner)
     elif config["model"] == "InfoMax" and not config["eager"]:
         # InfoMax scanned (pair states), single-device or mesh
@@ -135,7 +139,7 @@ def main(argv=None):
             epochs=config["epochs"], batch_size=config["batch_size"],
             chunk=25, on_epoch=on_epoch, make_runner=make_runner)
     else:
-        for epoch in range(config["epochs"]):
+        for epoch in range(start_epoch, config["epochs"]):
             state, metrics = train_epoch(
                 step, state, x_data, y_data, config["batch_size"], k_train,
                 epoch, shuffle_rng, drop_remainder=mesh is not None)

@@ -17,7 +17,8 @@ from ..train.loop import train_epoch, format_epoch, run_scanned_chunks
 from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
-from .common import arg_as_list, add_infra_args, resolve_mesh
+from .common import (arg_as_list, add_infra_args, resolve_mesh,
+                     add_resume_arg, apply_resume)
 
 # per-dataset transformer random_state (reference tabular/main_tvae.py:121-127)
 TRANSFORMER_RANDOM_STATE = {"loan": 8, "adult": 0, "covtype": 0}
@@ -42,6 +43,7 @@ def get_args(debug: bool = False, argv=None):
     parser.add_argument("--sigma_range", default=[0.01, 0.1],
                         type=arg_as_list)
     parser.add_argument("--data_dir", default="./data", type=str)
+    add_resume_arg(parser)
     add_infra_args(parser)
     if debug:
         return parser.parse_args(args=[])
@@ -86,7 +88,8 @@ def main(argv=None):
                           mesh=mesh)
     state = (params, optimizer.init(params))
 
-    shuffle_rng = np.random.default_rng(config["seed"])
+    state, start_epoch = apply_resume(config, state)
+    shuffle_rng = np.random.default_rng(config["seed"] + start_epoch)
     os.makedirs(config["assets_dir"], exist_ok=True)
 
     def on_epoch(epoch, metrics):
@@ -115,10 +118,11 @@ def main(argv=None):
                     tuple(config["sigma_range"])))
         state = run_scanned_chunks(
             raw, state, xd, yd, k_train,
-            epochs=config["epochs"], batch_size=config["batch_size"],
+            epochs=config["epochs"], start_epoch=start_epoch,
+            batch_size=config["batch_size"],
             chunk=25, on_epoch=on_epoch, make_runner=make_runner)
     else:
-        for epoch in range(config["epochs"]):
+        for epoch in range(start_epoch, config["epochs"]):
             state, metrics = train_epoch(
                 step, state, x_data, y_data, config["batch_size"], k_train,
                 epoch, shuffle_rng, drop_remainder=mesh is not None)

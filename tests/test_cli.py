@@ -301,3 +301,52 @@ def test_dp_smoke_batch_clamp(workdir):
                "--batch_size", "128", "--dp", "8", "--assets_dir", out])
     assert os.path.exists(os.path.join(out, "model_CDGVAE_linear",
                                        "state.pkl"))
+
+
+def test_resume_all_families(workdir):
+    """--resume (restores params+opt+epoch) now works on every training
+    CLI, not just cli.main."""
+    from cdgvae_tpu.cli import (dr_main, tabular_main, tabular_main_tvae,
+                                celeba_main, main_semi)
+    out = os.path.join(workdir, "res_dr")
+    dr_main.main(SMALL + ["--epochs", "1", "--assets_dir", out])
+    dr_main.main(SMALL + ["--epochs", "2", "--assets_dir", out,
+                          "--resume",
+                          os.path.join(out, "model_DR_CDGVAE_linear")])
+
+    out = os.path.join(workdir, "res_tab")
+    tabular_main.main(["--dataset", "loan", "--epochs", "1",
+                       "--batch_size", "128", "--assets_dir", out,
+                       "--data_dir", "/nonexistent"])
+    tabular_main.main(["--dataset", "loan", "--epochs", "2",
+                       "--batch_size", "128", "--assets_dir", out,
+                       "--data_dir", "/nonexistent", "--resume",
+                       os.path.join(out, "tabular_CDGVAE_loan")])
+
+    out = os.path.join(workdir, "res_tvae")
+    tabular_main_tvae.main(["--dataset", "loan", "--epochs", "1",
+                            "--assets_dir", out,
+                            "--data_dir", "/nonexistent"])
+    tabular_main_tvae.main(["--dataset", "loan", "--epochs", "2",
+                            "--assets_dir", out,
+                            "--data_dir", "/nonexistent", "--resume",
+                            os.path.join(out, "tabular_TVAE_loan")])
+
+    out = os.path.join(workdir, "res_celeba")
+    celeba_main.main(["--img_size", "32", "--conv_dim", "4", "--epochs",
+                      "1", "--batch_size", "4",
+                      "--data_dir", "/nonexistent", "--assets_dir", out])
+    celeba_main.main(["--img_size", "32", "--conv_dim", "4", "--epochs",
+                      "2", "--batch_size", "4",
+                      "--data_dir", "/nonexistent", "--assets_dir", out,
+                      "--resume",
+                      os.path.join(out, "celeba_CDGVAE_linear")])
+
+    out = os.path.join(workdir, "res_semi")
+    main_semi.main(SMALL + ["--labeled_ratio", "0.3", "--batch_sizeL", "8",
+                            "--epochs", "1", "--assets_dir", out])
+    main_semi.main(SMALL + ["--labeled_ratio", "0.3", "--batch_sizeL", "8",
+                            "--epochs", "2", "--assets_dir", out,
+                            "--resume",
+                            os.path.join(out,
+                                         "model_CDGVAEsemi_nonlinear")])
