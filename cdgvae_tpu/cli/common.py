@@ -54,20 +54,31 @@ def add_resume_arg(parser: argparse.ArgumentParser):
 
 
 def apply_resume(config: dict, state: tuple):
-    """Restore (params, opt_state) and the start epoch from --resume.
+    """Restore training state and the start epoch from --resume.
 
-    Returns (state, start_epoch). InfoMax is rejected: its discriminator
-    state is not checkpointed.
+    Returns (state, start_epoch): ``(params, opt_state)`` for VAE/CDGVAE,
+    or the 4-tuple ``(params, d_params, opt_state, opt_state_d)`` for
+    InfoMax (the discriminator state rides in the checkpoint's extras;
+    pre-extras InfoMax checkpoints cannot resume).
     """
     if not config.get("resume"):
         return state, 0
     from ..utils.checkpoint import load_checkpoint
 
-    if config.get("model") == "InfoMax":
-        raise ValueError("--resume does not restore the InfoMax "
-                         "discriminator state; resume only VAE/CDGVAE")
     ck = load_checkpoint(config["resume"])
-    state = (jax.device_put(ck["params"]), jax.device_put(ck["opt_state"]))
+    if config.get("model") == "InfoMax":
+        ex = ck["extras"] or {}
+        if "d_params" not in ex or "opt_state_d" not in ex:
+            raise ValueError(
+                "--resume: this InfoMax checkpoint has no discriminator "
+                "state (saved by an older version); cannot resume")
+        state = (jax.device_put(ck["params"]),
+                 jax.device_put(ex["d_params"]),
+                 jax.device_put(ck["opt_state"]),
+                 jax.device_put(ex["opt_state_d"]))
+    else:
+        state = (jax.device_put(ck["params"]),
+                 jax.device_put(ck["opt_state"]))
     print(f"resumed from {config['resume']} at epoch {ck['step']}")
     return state, int(ck["step"])
 

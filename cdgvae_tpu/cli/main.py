@@ -146,9 +146,10 @@ def main(argv=None):
         # ``state`` here is always (model params, model opt state)
         if _ckpt_due(epoch) and config["model"] != "InfoMax":
             # mid-run checkpoint (the reference saves only once at the end,
-            # main.py:233, with no resume path). InfoMax is excluded: its
-            # discriminator state is not checkpointed and --resume rejects
-            # it anyway.
+            # main.py:233, with no resume path). InfoMax mid-run saves are
+            # skipped — the pair state is not threaded through this hook;
+            # its FINAL checkpoint carries the discriminator extras and
+            # does resume.
             save_checkpoint(
                 os.path.join(config["assets_dir"],
                              f"model_{config['model']}_{config['scm']}"),
@@ -246,7 +247,10 @@ def main(argv=None):
     save_checkpoint(ckpt, state[0],
                     opt_state=state[-1] if config["model"] != "InfoMax"
                     else state[2],
-                    step=config["epochs"], config=config)
+                    step=config["epochs"], config=config,
+                    extras={"d_params": state[1],
+                            "opt_state_d": state[3]}
+                    if config["model"] == "InfoMax" else None)
     print(f"checkpoint saved to {ckpt}")
     logger.finish()
     return state

@@ -151,7 +151,10 @@ def main(argv=None):
     save_checkpoint(ckpt, state[0],
                     opt_state=state[1] if config["model"] != "InfoMax"
                     else state[2],
-                    step=config["epochs"], config=config)
+                    step=config["epochs"], config=config,
+                    extras={"d_params": state[1],
+                            "opt_state_d": state[3]}
+                    if config["model"] == "InfoMax" else None)
     print(f"checkpoint saved to {ckpt}")
     logger.finish()
     return state

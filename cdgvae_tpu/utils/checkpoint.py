@@ -26,14 +26,22 @@ def _to_host(tree):
 
 
 def save_checkpoint(path: str, params, opt_state=None, step: int = 0,
-                    config: dict | None = None):
-    """Write a self-describing checkpoint directory."""
+                    config: dict | None = None,
+                    extras: dict | None = None):
+    """Write a self-describing checkpoint directory.
+
+    ``extras``: auxiliary state trees keyed by name (e.g. the InfoMax
+    discriminator's params/optimizer state) — restored verbatim by
+    load_checkpoint; absent in older checkpoints (loads as None).
+    """
     os.makedirs(path, exist_ok=True)
     payload = {
         "params": _to_host(params),
         "opt_state": _to_host(opt_state) if opt_state is not None else None,
         "step": step,
     }
+    if extras is not None:
+        payload["extras"] = {k: _to_host(v) for k, v in extras.items()}
     with open(os.path.join(path, "state.pkl"), "wb") as f:
         pickle.dump(payload, f)
     if config is not None:
@@ -42,11 +50,12 @@ def save_checkpoint(path: str, params, opt_state=None, step: int = 0,
 
 
 def load_checkpoint(path: str) -> dict[str, Any]:
-    """Returns {'params', 'opt_state', 'step', 'config'}."""
+    """Returns {'params', 'opt_state', 'step', 'config', 'extras'}."""
     with open(os.path.join(path, "state.pkl"), "rb") as f:
         payload = pickle.load(f)
     cfg_path = os.path.join(path, "config.json")
     payload["config"] = None
+    payload.setdefault("extras", None)  # pre-extras checkpoints
     if os.path.exists(cfg_path):
         with open(cfg_path) as f:
             payload["config"] = json.load(f)

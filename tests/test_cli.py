@@ -350,3 +350,16 @@ def test_resume_all_families(workdir):
                             "--resume",
                             os.path.join(out,
                                          "model_CDGVAEsemi_nonlinear")])
+
+
+def test_infomax_resume(workdir):
+    """InfoMax checkpoints carry the discriminator params/opt state in
+    extras, so --resume restores the full 4-tuple and continues."""
+    from cdgvae_tpu.cli import main
+    out = os.path.join(workdir, "res_infomax")
+    main.main(SMALL + ["--model", "InfoMax", "--epochs", "1",
+                       "--assets_dir", out])
+    state = main.main(SMALL + ["--model", "InfoMax", "--epochs", "2",
+                               "--assets_dir", out, "--resume",
+                               os.path.join(out, "model_InfoMax_linear")])
+    assert len(state) == 4
