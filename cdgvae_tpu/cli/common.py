@@ -66,7 +66,16 @@ def apply_resume(config: dict, state: tuple):
     from ..utils.checkpoint import load_checkpoint
 
     ck = load_checkpoint(config["resume"])
-    if config.get("model") == "InfoMax":
+    start_epoch = int(ck["step"])
+    if start_epoch >= config.get("epochs", float("inf")):
+        raise ValueError(
+            f"--resume checkpoint is at epoch {start_epoch}, which is "
+            f"already >= --epochs {config['epochs']}; raising --epochs is "
+            "required to continue (running on would retrain from scratch "
+            "and overwrite the checkpoint's step metadata)")
+    # keyed on the trainer's actual state arity, not the free-form --model
+    # string (celeba/semi CLIs accept any --model name but train 2-tuples)
+    if len(state) == 4:
         ex = ck["extras"] or {}
         if "d_params" not in ex or "opt_state_d" not in ex:
             raise ValueError(
@@ -79,8 +88,8 @@ def apply_resume(config: dict, state: tuple):
     else:
         state = (jax.device_put(ck["params"]),
                  jax.device_put(ck["opt_state"]))
-    print(f"resumed from {config['resume']} at epoch {ck['step']}")
-    return state, int(ck["step"])
+    print(f"resumed from {config['resume']} at epoch {start_epoch}")
+    return state, start_epoch
 
 
 def add_png_data_dir_arg(parser: argparse.ArgumentParser):

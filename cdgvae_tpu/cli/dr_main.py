@@ -91,6 +91,7 @@ def main(argv=None):
     shuffle_rng = np.random.default_rng(config["seed"] + start_epoch)
     os.makedirs(config["assets_dir"], exist_ok=True)
     viz_fwd = jax.jit(lambda p, x, r: model(p, x, rng=r).xhat)
+    x_viz = x_data[:9]
 
     def on_epoch(epoch, metrics):
         print(format_epoch(epoch, metrics))
@@ -98,7 +99,7 @@ def main(argv=None):
 
     def post_epoch(state, epoch):
         if epoch % 10 == 0:
-            xhat = viz_fwd(state[0], x_data[:9],
+            xhat = viz_fwd(state[0], x_viz,
                            jax.random.fold_in(k_train, 2**31))
             viz_recon_grid(np.asarray(xhat),
                            f"{config['assets_dir']}/tmp_image_{epoch}.png")
@@ -118,6 +119,7 @@ def main(argv=None):
                 make_supervised_loss_fn(model, config["beta"],
                                         config["lambda"]),
                 optimizer, config["batch_size"])
+            x_data = y_data = None  # training uses the sharded copy
         state = run_scanned_chunks(
             raw, state, xd, yd, k_train,
             epochs=config["epochs"], start_epoch=start_epoch,
@@ -145,9 +147,11 @@ def main(argv=None):
                                      marginal="roll"),
                 pair_infomax_optimizer(optimizer, optimizer_d),
                 config["batch_size"])
+            x_data = y_data = None  # training uses the sharded copy
         state = run_scanned_chunks_pair(
             raw, state, xd, yd, k_train,
-            epochs=config["epochs"], batch_size=config["batch_size"],
+            epochs=config["epochs"], start_epoch=start_epoch,
+            batch_size=config["batch_size"],
             on_epoch=on_epoch,
             post_epoch=lambda s, e: post_epoch((s[0][0],), e),
             post_epoch_pred=lambda e: e % 10 == 0,

@@ -24,7 +24,8 @@ from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
 from ..utils.viz import viz_recon_grid
-from .common import arg_as_list, add_infra_args, add_png_data_dir_arg, resolve_mesh
+from .common import (arg_as_list, add_infra_args, add_png_data_dir_arg,
+                     resolve_mesh, add_resume_arg)
 
 
 def get_args(debug: bool = False, argv=None):
@@ -66,11 +67,8 @@ def get_args(debug: bool = False, argv=None):
                         help="weight of label alignment loss")
     parser.add_argument("--gamma", default=1, type=float,
                         help="weight of f-divergence (InfoMax)")
-    parser.add_argument("--resume", default="", type=str,
-                        help="checkpoint directory to resume from (restores "
-                             "params + optimizer state + epoch; the "
-                             "reference has no resume path at all)")
     add_png_data_dir_arg(parser)
+    add_resume_arg(parser)
     add_infra_args(parser)
     if debug:
         return parser.parse_args(args=[])
@@ -135,6 +133,10 @@ def main(argv=None):
     os.makedirs(config["assets_dir"], exist_ok=True)
 
     _viz = _make_viz_forward(model)
+    # fixed viz slice: lets the --dp paths release the full unsharded
+    # dataset (the sharded copy is the training copy); same compiled shape
+    # every call
+    x_viz = x_data[:min(config["batch_size"], len(x_data))]
 
     def _ckpt_due(epoch):
         return (epoch + 1) % 25 == 0 and epoch + 1 < config["epochs"]
@@ -158,7 +160,7 @@ def main(argv=None):
         if _viz_due(epoch):
             # forward on a training-batch-sized slice: reuses the same
             # compiled shape every time (cold compiles are minutes here)
-            out = _viz(state[0], x_data, config["batch_size"],
+            out = _viz(state[0], x_viz, config["batch_size"],
                        jax.random.fold_in(k_train, 2**31))
             viz_recon_grid(np.asarray(out.xhat[:9]),
                            f"{config['assets_dir']}/tmp_image_{epoch}.png")
@@ -191,6 +193,7 @@ def main(argv=None):
                 make_supervised_loss_fn(model, config["beta"],
                                         config["lambda"]),
                 optimizer, config["batch_size"])
+            x_data = y_data = None  # training uses the sharded copy
         state = run_scanned_chunks(
             raw, state, xd, yd, k_train,
             epochs=config["epochs"], start_epoch=start_epoch,
@@ -220,6 +223,7 @@ def main(argv=None):
                                      marginal="roll"),
                 pair_infomax_optimizer(optimizer, optimizer_d),
                 config["batch_size"])
+            x_data = y_data = None  # training uses the sharded copy
         state = run_scanned_chunks_pair(
             raw, state, xd, yd, k_train,
             epochs=config["epochs"], start_epoch=start_epoch,
@@ -237,7 +241,7 @@ def main(argv=None):
             _post_epoch((state[0], state[2])
                         if config["model"] == "InfoMax" else state, epoch)
 
-    out = _viz(state[0], x_data, config["batch_size"],
+    out = _viz(state[0], x_viz, config["batch_size"],
                jax.random.fold_in(k_train, 2**31))
     viz_recon_grid(np.asarray(out.xhat), f"{config['assets_dir']}/recon.png")
     logger.log_image("reconstruction", f"{config['assets_dir']}/recon.png")

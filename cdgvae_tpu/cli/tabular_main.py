@@ -136,7 +136,8 @@ def main(argv=None):
                 config["batch_size"])
         state = run_scanned_chunks_pair(
             raw, state, xd, yd, k_train,
-            epochs=config["epochs"], batch_size=config["batch_size"],
+            epochs=config["epochs"], start_epoch=start_epoch,
+            batch_size=config["batch_size"],
             chunk=25, on_epoch=on_epoch, make_runner=make_runner)
     else:
         for epoch in range(start_epoch, config["epochs"]):

@@ -71,6 +71,11 @@ def train_epoch_semi(step: Callable, state: tuple, x_u, x_l, y_l,
         raise ValueError(
             f"labeled stream ({len(x_l)}) smaller than batch_sizeL "
             f"({batch_size_l}) with drop_remainder; lower batch_sizeL")
+    if drop_remainder and len(x_u) < batch_size:
+        raise ValueError(
+            f"unlabeled stream ({len(x_u)}) smaller than batch_size "
+            f"({batch_size}) with drop_remainder — every epoch would run "
+            "zero steps; lower batch_size")
     avg = Averager()
     labeled_iter = batch_indices(len(x_l), batch_size_l, shuffle_rng,
                                  drop_remainder)
