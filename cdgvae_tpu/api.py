@@ -34,6 +34,28 @@ class LoadedModel:
         self._fwd = jax.jit(
             lambda p, x: model(p, x, deterministic=True).xhat)
 
+        # jit ONCE here, not per call: a jitted closure built inside a
+        # method is a fresh function identity every call, so each
+        # counterfactual()/sample() call would retrace AND recompile
+        # (30-450 s cold on this backend) — fatal for a serving surface
+        @partial(jax.jit, static_argnames=("do_index",))
+        def _cf(params, x, do_index, value):
+            _, _, eps, _, latent, _ = model.encode(
+                params, x, deterministic=True)
+            z_do = model.graph.do_intervention(
+                params["causal"], latent, eps, do_index, value)
+            dec = model.decode(params, z_do)
+            return dec[1] if isinstance(dec, tuple) else dec
+
+        @jax.jit
+        def _gen(params, eps):
+            _, latent, _ = model.graph.transform(params["causal"], eps)
+            dec = model.decode(params, latent)
+            return dec[1] if isinstance(dec, tuple) else dec
+
+        self._cf = _cf
+        self._gen = _gen
+
     @classmethod
     def load(cls, checkpoint_dir: str) -> "LoadedModel":
         ck = load_checkpoint(checkpoint_dir)
@@ -59,27 +81,11 @@ class LoadedModel:
     def counterfactual(self, x, do_index: int, value) -> np.ndarray:
         """Answer do(z_{do_index} := value) for each input: encode, apply
         the do-operator with ancestral re-propagation, decode."""
-        @partial(jax.jit, static_argnames=("do_index",))
-        def run(params, x, do_index, value):
-            _, _, eps, _, latent, _ = self.model.encode(
-                params, x, deterministic=True)
-            z_do = self.model.graph.do_intervention(
-                params["causal"], latent, eps, do_index, value)
-            dec = self.model.decode(params, z_do)
-            return dec[1] if isinstance(dec, tuple) else dec
-
-        return np.asarray(run(self.params, jnp.asarray(x), do_index,
-                              float(value)))
+        return np.asarray(self._cf(self.params, jnp.asarray(x), do_index,
+                                   float(value)))
 
     def sample(self, n: int, rng=None) -> np.ndarray:
         """Generative sampling: eps ~ N(0, I) -> SEM+flows -> decode."""
         rng = rng if rng is not None else jax.random.key(0)
-
-        @jax.jit
-        def run(params, eps):
-            _, latent, _ = self.model.graph.transform(params["causal"], eps)
-            dec = self.model.decode(params, latent)
-            return dec[1] if isinstance(dec, tuple) else dec
-
         eps = jax.random.normal(rng, (n, self.model.node))
-        return np.asarray(run(self.params, eps))
+        return np.asarray(self._gen(self.params, eps))
