@@ -14,8 +14,6 @@ All paths are jitted once and reused; shapes are static per batch size.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -25,49 +23,113 @@ from .utils.checkpoint import load_checkpoint
 
 
 class LoadedModel:
-    def __init__(self, model, params, config: dict):
+    def __init__(self, model, params, config: dict, mesh=None):
         self.model = model
-        self.params = params
         self.config = config
-        self._encode = jax.jit(
-            lambda p, x: model.encode(p, x, deterministic=True))
-        self._fwd = jax.jit(
-            lambda p, x: model(p, x, deterministic=True).xhat)
+        self._celeba = hasattr(model, "latent_dim")
+
+        # multi-chip serving: params replicated, batch axis sharded over
+        # the dp mesh — XLA partitions every path, no collectives needed
+        # (all ops are per-sample)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(mesh, P())
+            bsh = NamedSharding(mesh, P("dp"))
+            params = jax.device_put(params, rep)
+
+            def jit2(f, extra=0):  # (params, batch, *scalars)
+                return jax.jit(f, in_shardings=(rep, bsh) + (rep,) * extra)
+
+            def jit2_static(f):
+                return jax.jit(f, static_argnames=("do_index",),
+                               in_shardings=(rep, bsh, rep))
+        else:
+            def jit2(f, extra=0):
+                return jax.jit(f)
+
+            def jit2_static(f):
+                return jax.jit(f, static_argnames=("do_index",))
+
+        self.params = params
+        self._fwd = jit2(lambda p, x: model(p, x, deterministic=True).xhat)
 
         # jit ONCE here, not per call: a jitted closure built inside a
         # method is a fresh function identity every call, so each
         # counterfactual()/sample() call would retrace AND recompile
         # (30-450 s cold on this backend) — fatal for a serving surface
-        @partial(jax.jit, static_argnames=("do_index",))
-        def _cf(params, x, do_index, value):
-            _, _, eps, _, latent, _ = model.encode(
-                params, x, deterministic=True)
-            z_do = model.graph.do_intervention(
-                params["causal"], latent, eps, do_index, value)
-            dec = model.decode(params, z_do)
-            return dec[1] if isinstance(dec, tuple) else dec
+        if self._celeba:
+            # dual-latent model: causal branch drives the do-operator,
+            # style eps2 rides along, masks come from the input channels
+            self._encode = jit2(
+                lambda p, x: model.encode(p, x, deterministic=True)[0])
 
-        @jax.jit
-        def _gen(params, eps):
-            _, latent, _ = model.graph.transform(params["causal"], eps)
-            dec = model.decode(params, latent)
-            return dec[1] if isinstance(dec, tuple) else dec
+            @jit2_static
+            def _cf(params, x, do_index, value):
+                (_, _, eps1, _, latent, _), (_, _, eps2) = model.encode(
+                    params, x, deterministic=True)
+                z_do = model.graph.do_intervention(
+                    params["causal"], latent, eps1, do_index, value)
+                masks = x[..., 3: 3 + model.K]
+                _, xhat = model.decode(params, z_do, eps2, masks,
+                                       jax.random.key(0))
+                return xhat
 
-        self._cf = _cf
-        self._gen = _gen
+            self._cf = _cf
+            self._gen = None  # sampling needs per-sample segmentation masks
+        else:
+            self._encode = jit2(
+                lambda p, x: model.encode(p, x, deterministic=True))
+
+            @jit2_static
+            def _cf(params, x, do_index, value):
+                _, _, eps, _, latent, _ = model.encode(
+                    params, x, deterministic=True)
+                z_do = model.graph.do_intervention(
+                    params["causal"], latent, eps, do_index, value)
+                dec = model.decode(params, z_do)
+                return dec[1] if isinstance(dec, tuple) else dec
+
+            @jit2
+            def _gen(params, eps):
+                _, latent, _ = model.graph.transform(params["causal"], eps)
+                dec = model.decode(params, latent)
+                return dec[1] if isinstance(dec, tuple) else dec
+
+            self._cf = _cf
+            self._gen = _gen
 
     @classmethod
-    def load(cls, checkpoint_dir: str) -> "LoadedModel":
+    def load(cls, checkpoint_dir: str, mesh=None) -> "LoadedModel":
+        """``mesh``: an optional 1-D ``dp`` mesh (parallel.mesh.make_mesh)
+        — serving batches are sharded over it, params replicated."""
         ck = load_checkpoint(checkpoint_dir)
         config = ck["config"]
         if config is None:
             raise ValueError("checkpoint has no embedded config")
         if "dataset" in config:
             model, _ = build_tabular_model(dict(config))
+        elif "causal_structure" in config:  # celeba family
+            from .models.celeba import (CelebACDGVAE, celeba_B,
+                                        SMILE_NODES, ATTRACTIVE_NODES)
+            from .ops.causal import CausalGraph
+            nodes = (SMILE_NODES if config["causal_structure"] == 0
+                     else ATTRACTIVE_NODES)
+            B = celeba_B(nodes, config["causal_structure"],
+                         config.get("adjacency_scaling", True))
+            graph = CausalGraph(B, scm=config["scm"],
+                                flow_num=config["flow_num"],
+                                inverse_loop=config["inverse_loop"])
+            model = CelebACDGVAE(
+                graph, latent_dim=config["latent_dim"],
+                image_size=config["img_size"],
+                conv_dim=config["conv_dim"],
+                freeze_trunk=not config.get("train_trunk", False))
         else:
             spurious = config.get("node", 4) == 5
             model, _ = build_pendulum_model(dict(config), spurious=spurious)
-        return cls(model, jax.device_put(ck["params"]), config)
+        return cls(model, jax.device_put(ck["params"])
+                   if mesh is None else ck["params"],
+                   config, mesh=mesh)
 
     # -- inference surface ---------------------------------------------------
     def encode(self, x) -> np.ndarray:
@@ -86,6 +148,11 @@ class LoadedModel:
 
     def sample(self, n: int, rng=None) -> np.ndarray:
         """Generative sampling: eps ~ N(0, I) -> SEM+flows -> decode."""
+        if self._gen is None:
+            raise ValueError(
+                "celeba generative sampling needs per-sample segmentation "
+                "masks (the GAM decoder composes masked blocks); use "
+                "reconstruct/counterfactual on real inputs instead")
         rng = rng if rng is not None else jax.random.key(0)
         eps = jax.random.normal(rng, (n, self.model.node))
         return np.asarray(self._gen(self.params, eps))

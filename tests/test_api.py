@@ -54,3 +54,60 @@ def test_api_no_retrace_across_calls(tmp_path):
     m.sample(4, rng=jax.random.key(1))
     assert m._cf._cache_size() == n_cf
     assert m._gen._cache_size() == n_gen
+
+
+def test_loaded_model_celeba(tmp_path):
+    """LoadedModel dispatches celeba checkpoints (dual latent, per-sample
+    masks from the input channels); sampling is rejected with a clear
+    message since it needs segmentation masks."""
+    import pytest
+    from cdgvae_tpu.models.celeba import (CelebACDGVAE, celeba_B,
+                                          SMILE_NODES)
+    from cdgvae_tpu.ops.causal import CausalGraph
+
+    cfg = dict(model="CDGVAE", causal_structure=0, node=6, latent_dim=6,
+               scm="linear", flow_num=1, inverse_loop=100,
+               adjacency_scaling=True, img_size=32, conv_dim=4)
+    B = celeba_B(SMILE_NODES, 0, True)
+    graph = CausalGraph(B, scm="linear", flow_num=1, inverse_loop=100)
+    model = CelebACDGVAE(graph, latent_dim=6, image_size=32, conv_dim=4)
+    params = model.init(jax.random.key(0))
+    ckpt = str(tmp_path / "celeba_ck")
+    save_checkpoint(ckpt, params, config=cfg)
+
+    m = LoadedModel.load(ckpt)
+    x = np.random.default_rng(0).uniform(
+        size=(2, 32, 32, 8)).astype(np.float32)
+    z = m.encode(x)
+    assert z.shape == (2, 6)
+    xr = m.reconstruct(x)
+    assert xr.shape == (2, 32, 32, 3)
+    xc = m.counterfactual(x, do_index=0, value=0.5)
+    assert xc.shape == (2, 32, 32, 3)
+    with pytest.raises(ValueError, match="segmentation masks"):
+        m.sample(4)
+
+
+def test_loaded_model_mesh_serving(tmp_path):
+    """mesh= shards serving batches over the dp axis; outputs match the
+    single-device paths (all per-sample ops, no collectives)."""
+    from cdgvae_tpu.parallel.mesh import make_mesh
+
+    model, _ = build_pendulum_model(CFG)
+    params = model.init(jax.random.key(0))
+    ckpt = str(tmp_path / "ck")
+    save_checkpoint(ckpt, params, config=CFG)
+
+    m1 = LoadedModel.load(ckpt)
+    m8 = LoadedModel.load(ckpt, mesh=make_mesh(8))
+    x = np.tanh(np.random.default_rng(0).normal(
+        size=(16, 16, 16, 3))).astype(np.float32)
+    np.testing.assert_allclose(m8.reconstruct(x), m1.reconstruct(x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(m8.encode(x), m1.encode(x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        m8.counterfactual(x, 1, 0.7), m1.counterfactual(x, 1, 0.7),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(m8.sample(16), m1.sample(16),
+                               rtol=1e-5, atol=1e-5)
