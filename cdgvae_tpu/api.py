@@ -23,9 +23,12 @@ from .utils.checkpoint import load_checkpoint
 
 
 class LoadedModel:
-    def __init__(self, model, params, config: dict, mesh=None):
+    def __init__(self, model, params, config: dict, mesh=None,
+                 bucket_batches: bool = True):
         self.model = model
         self.config = config
+        self.bucket_batches = bucket_batches
+        self._n_dev = 1 if mesh is None else int(mesh.devices.size)
         self._celeba = hasattr(model, "latent_dim")
 
         # multi-chip serving: params replicated, batch axis sharded over
@@ -99,9 +102,12 @@ class LoadedModel:
             self._gen = _gen
 
     @classmethod
-    def load(cls, checkpoint_dir: str, mesh=None) -> "LoadedModel":
+    def load(cls, checkpoint_dir: str, mesh=None,
+             bucket_batches: bool = True) -> "LoadedModel":
         """``mesh``: an optional 1-D ``dp`` mesh (parallel.mesh.make_mesh)
-        — serving batches are sharded over it, params replicated."""
+        — serving batches are sharded over it, params replicated.
+        ``bucket_batches``: pad batches to the next power of two so ragged
+        batch sizes reuse compiled programs (see _pad)."""
         ck = load_checkpoint(checkpoint_dir)
         config = ck["config"]
         if config is None:
@@ -129,22 +135,46 @@ class LoadedModel:
             model, _ = build_pendulum_model(dict(config), spurious=spurious)
         return cls(model, jax.device_put(ck["params"])
                    if mesh is None else ck["params"],
-                   config, mesh=mesh)
+                   config, mesh=mesh, bucket_batches=bucket_batches)
+
+    # -- batch bucketing -----------------------------------------------------
+    # Every distinct batch size would otherwise trace+compile a fresh
+    # program (30-450 s cold on this backend). With bucketing (default on),
+    # batches are zero-padded up to the next power of two and the output
+    # sliced back — exact for these per-sample paths, and a serving client
+    # with ragged batch sizes compiles O(log max_batch) programs instead of
+    # one per size. Disable with bucket_batches=False for fixed-size
+    # callers that want zero padding overhead.
+    def _pad(self, x):
+        n = len(x)
+        if not self.bucket_batches:
+            return x, n
+        m = 1 << (n - 1).bit_length()  # next power of two
+        if self._n_dev > 1 and m % self._n_dev:
+            # mesh serving: the bucket must also split over the devices
+            m += self._n_dev - m % self._n_dev
+        if m == n:
+            return x, n
+        pad = jnp.zeros((m - n, *x.shape[1:]), x.dtype)
+        return jnp.concatenate([x, pad]), n
 
     # -- inference surface ---------------------------------------------------
     def encode(self, x) -> np.ndarray:
         """Deterministic causal latents [batch, node]."""
-        _, _, _, _, latent, _ = self._encode(self.params, jnp.asarray(x))
-        return np.asarray(latent)
+        xp, n = self._pad(jnp.asarray(x))
+        _, _, _, _, latent, _ = self._encode(self.params, xp)
+        return np.asarray(latent[:n])
 
     def reconstruct(self, x) -> np.ndarray:
-        return np.asarray(self._fwd(self.params, jnp.asarray(x)))
+        xp, n = self._pad(jnp.asarray(x))
+        return np.asarray(self._fwd(self.params, xp)[:n])
 
     def counterfactual(self, x, do_index: int, value) -> np.ndarray:
         """Answer do(z_{do_index} := value) for each input: encode, apply
         the do-operator with ancestral re-propagation, decode."""
-        return np.asarray(self._cf(self.params, jnp.asarray(x), do_index,
-                                   float(value)))
+        xp, n = self._pad(jnp.asarray(x))
+        return np.asarray(self._cf(self.params, xp, do_index,
+                                   float(value))[:n])
 
     def sample(self, n: int, rng=None) -> np.ndarray:
         """Generative sampling: eps ~ N(0, I) -> SEM+flows -> decode."""
@@ -155,4 +185,5 @@ class LoadedModel:
                 "reconstruct/counterfactual on real inputs instead")
         rng = rng if rng is not None else jax.random.key(0)
         eps = jax.random.normal(rng, (n, self.model.node))
-        return np.asarray(self._gen(self.params, eps))
+        ep, n0 = self._pad(eps)
+        return np.asarray(self._gen(self.params, ep)[:n0])

@@ -111,3 +111,39 @@ def test_loaded_model_mesh_serving(tmp_path):
         rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(m8.sample(16), m1.sample(16),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_api_bucketing_reuses_programs(tmp_path):
+    """Ragged batch sizes bucket to powers of two: exact results, and
+    sizes within a bucket share one compiled program."""
+    model, _ = build_pendulum_model(CFG)
+    params = model.init(jax.random.key(0))
+    ckpt = str(tmp_path / "ck")
+    save_checkpoint(ckpt, params, config=CFG)
+    m = LoadedModel.load(ckpt)
+    mref = LoadedModel.load(ckpt, bucket_batches=False)
+
+    rng = np.random.default_rng(0)
+    x9 = np.tanh(rng.normal(size=(9, 16, 16, 3))).astype(np.float32)
+    np.testing.assert_allclose(m.reconstruct(x9), mref.reconstruct(x9),
+                               rtol=1e-6, atol=1e-6)
+    n0 = m._fwd._cache_size()
+    m.reconstruct(x9[:13] if len(x9) >= 13 else
+                  np.concatenate([x9, x9])[:13])  # 13 -> same 16-bucket
+    assert m._fwd._cache_size() == n0
+
+
+def test_api_mesh_small_batch_buckets_to_device_multiple(tmp_path):
+    """A 3-row batch on an 8-device mesh pads to a device-divisible
+    bucket instead of failing the sharding constraint."""
+    from cdgvae_tpu.parallel.mesh import make_mesh
+
+    model, _ = build_pendulum_model(CFG)
+    params = model.init(jax.random.key(0))
+    ckpt = str(tmp_path / "ck")
+    save_checkpoint(ckpt, params, config=CFG)
+    m8 = LoadedModel.load(ckpt, mesh=make_mesh(8))
+    x = np.tanh(np.random.default_rng(0).normal(
+        size=(3, 16, 16, 3))).astype(np.float32)
+    assert m8.reconstruct(x).shape == (3, 16, 16, 3)
+    assert m8.encode(x).shape == (3, 4)
