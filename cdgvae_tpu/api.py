@@ -27,9 +27,12 @@ class LoadedModel:
                  bucket_batches: bool = True):
         self.model = model
         self.config = config
-        self.bucket_batches = bucket_batches
         self._n_dev = 1 if mesh is None else int(mesh.devices.size)
         self._celeba = hasattr(model, "latent_dim")
+        # CelebA is NOT per-sample: its ResNet/SAGAN BatchNorms use batch
+        # statistics (models/sagan.py docstring), so zero-pad rows would
+        # shift the real rows' outputs — bucketing is forced off there
+        self.bucket_batches = bucket_batches and not self._celeba
 
         # multi-chip serving: params replicated, batch axis sharded over
         # the dp mesh — XLA partitions every path, no collectives needed

@@ -86,6 +86,11 @@ def test_loaded_model_celeba(tmp_path):
     assert xc.shape == (2, 32, 32, 3)
     with pytest.raises(ValueError, match="segmentation masks"):
         m.sample(4)
+    # bucketing is forced OFF for celeba: its BatchNorms use batch
+    # statistics, so zero-pad rows would shift real outputs
+    assert m.bucket_batches is False
+    x3 = x[:1].repeat(3, axis=0)
+    assert m.reconstruct(x3).shape == (3, 32, 32, 3)
 
 
 def test_loaded_model_mesh_serving(tmp_path):
@@ -128,8 +133,7 @@ def test_api_bucketing_reuses_programs(tmp_path):
     np.testing.assert_allclose(m.reconstruct(x9), mref.reconstruct(x9),
                                rtol=1e-6, atol=1e-6)
     n0 = m._fwd._cache_size()
-    m.reconstruct(x9[:13] if len(x9) >= 13 else
-                  np.concatenate([x9, x9])[:13])  # 13 -> same 16-bucket
+    m.reconstruct(np.concatenate([x9, x9])[:13])  # 13 -> same 16-bucket
     assert m._fwd._cache_size() == n0
 
 
