@@ -151,6 +151,12 @@ class LoadedModel:
     def _pad(self, x):
         n = len(x)
         if not self.bucket_batches:
+            if self._n_dev > 1 and n % self._n_dev:
+                raise ValueError(
+                    f"batch {n} does not divide over the {self._n_dev} "
+                    "mesh devices, and pad-bucketing is unavailable here "
+                    "(celeba's batch-statistic BatchNorm makes padding "
+                    "inexact) — use a device-divisible batch size")
             return x, n
         m = 1 << (n - 1).bit_length()  # next power of two
         if self._n_dev > 1 and m % self._n_dev:
