@@ -17,7 +17,7 @@ from ..train.loop import train_epoch, format_epoch, run_scanned_chunks
 from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
-from .common import (add_infra_args, resolve_mesh,
+from .common import (add_infra_args, resolve_mesh, arg_as_list,
                      add_resume_arg, apply_resume)
 
 
@@ -29,6 +29,15 @@ def get_args(debug: bool = False, argv=None):
                         help="VAE, InfoMax, CDGVAE")
     parser.add_argument("--dataset", type=str, default="loan",
                         help="loan, adult, covtype")
+    # declared-but-overridden flags, exactly like the reference
+    # (tabular/main.py:67-84 declares them, then :139-159 overwrites per
+    # dataset) — accepted for CLI parity, values replaced by DATASET_SPECS
+    parser.add_argument("--node", default=3, type=int,
+                        help="overridden per dataset (reference parity)")
+    parser.add_argument("--factor", default=[1, 1, 1], type=arg_as_list,
+                        help="overridden per dataset (reference parity)")
+    parser.add_argument("--input_dim", default=5, type=int,
+                        help="overridden per dataset (reference parity)")
     parser.add_argument("--scm", default="linear", type=str)
     parser.add_argument("--flow_num", default=1, type=int)
     parser.add_argument("--inverse_loop", default=100, type=int)

@@ -31,6 +31,11 @@ def get_args(debug: bool = False, argv=None):
     parser.add_argument("--model", type=str, default="TVAE")
     parser.add_argument("--dataset", type=str, default="loan",
                         help="loan, adult, covtype")
+    # declared-but-overridden flags (reference tabular/main_tvae.py:65-80)
+    parser.add_argument("--node", default=3, type=int,
+                        help="overridden per dataset (reference parity)")
+    parser.add_argument("--factor", default=[1, 1, 1], type=arg_as_list,
+                        help="overridden per dataset (reference parity)")
     parser.add_argument("--scm", default="linear", type=str)
     parser.add_argument("--flow_num", default=1, type=int)
     parser.add_argument("--inverse_loop", default=100, type=int)
