@@ -41,7 +41,9 @@ def get_args(debug: bool = False, argv=None):
     parser.add_argument("--batch_sizeL", default=32, type=int)
     parser.add_argument("--lr", default=0.001, type=float)
     parser.add_argument("--beta", default=0.1, type=float)
-    parser.add_argument("--lambda", default=20, type=float)
+    # NOTE: the reference's DR semi default is 5 (DR/main_semi.py:107),
+    # unlike supervised DR's 20 (DR/main.py:105) — kept faithfully
+    parser.add_argument("--lambda", default=5, type=float)
     add_png_data_dir_arg(parser)
     add_resume_arg(parser)
     add_infra_args(parser)
