@@ -363,3 +363,13 @@ def test_infomax_resume(workdir):
                                "--assets_dir", out, "--resume",
                                os.path.join(out, "model_InfoMax_linear")])
     assert len(state) == 4
+
+
+def test_resume_past_epochs_rejected(workdir, pendulum_ckpt):
+    """Resuming a checkpoint whose epoch is already >= --epochs is refused
+    (running on would zero-train and overwrite the step metadata)."""
+    from cdgvae_tpu.cli import main
+    with pytest.raises(ValueError, match="already >="):
+        main.main(SMALL + ["--model", "CDGVAE", "--epochs", "2",
+                           "--resume", pendulum_ckpt,
+                           "--assets_dir", os.path.join(workdir, "rpe")])
