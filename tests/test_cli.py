@@ -373,3 +373,15 @@ def test_resume_past_epochs_rejected(workdir, pendulum_ckpt):
         main.main(SMALL + ["--model", "CDGVAE", "--epochs", "2",
                            "--resume", pendulum_ckpt,
                            "--assets_dir", os.path.join(workdir, "rpe")])
+
+
+def test_celeba_dp_bf16(workdir):
+    """bf16 mixed precision composes with the sharded scanned trainer
+    (the celeba loss casts network compute, keeps f32 params/losses)."""
+    from cdgvae_tpu.cli import celeba_main
+    out = os.path.join(workdir, "celeba_dp_bf16")
+    celeba_main.main(["--img_size", "32", "--conv_dim", "4", "--epochs",
+                      "2", "--batch_size", "8", "--dp", "8", "--bf16",
+                      "--data_dir", "/nonexistent", "--assets_dir", out])
+    assert os.path.exists(os.path.join(out, "celeba_CDGVAE_linear",
+                                       "state.pkl"))
