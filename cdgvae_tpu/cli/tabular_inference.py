@@ -12,7 +12,7 @@ import jax
 from ..data.tabular.datasets import load_tabular, DATASET_SPECS
 from ..factory import build_tabular_model
 from ..eval.tabular_inference import (reconstruct_dataset, sample_synthetic,
-                                      to_frame, cpdag_and_shd)
+                                      to_frame)
 from ..eval.ml_efficacy import regression_eval, classification_eval
 from ..utils.pc import pc, cpdag_shd
 from ..utils.checkpoint import load_checkpoint

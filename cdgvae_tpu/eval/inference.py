@@ -8,20 +8,28 @@ batch per node.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 
+@lru_cache(maxsize=32)
+def _encode_fn(model):
+    # jitted once per model (a fresh lambda per call would retrace)
+    return jax.jit(lambda p, x: model.encode(p, x, deterministic=True))
+
+
 def encode_dataset(model, params, x_data, batch_size: int = 512):
     """Deterministic encode of the whole dataset.
 
     Returns dict of host arrays: mean, logvar, epsilon (=mean), orig_latent,
-    latent, align_latent (reference inference.py:161-175).
+    latent, logdet (reference inference.py:161-175; the reference's
+    align_latent equals ``latent`` here because the encode is
+    deterministic).
     """
-    enc = jax.jit(lambda p, x: model.encode(p, x, deterministic=True))
+    enc = _encode_fn(model)
     outs = []
     for i in range(0, len(x_data), batch_size):
         outs.append(jax.device_get(enc(params, x_data[i: i + batch_size])))
@@ -45,19 +53,13 @@ def _decode_image(model, params, latent):
     return dec[1] if isinstance(dec, tuple) else dec
 
 
-def do_sweep(model, params, x_sample, do_index: int, values,
-             deterministic: bool = True):
-    """Counterfactual sweep: decode do(z_{do_index} := v) for each v.
-
-    x_sample: [1, H, W, 3] (the reference sweeps a single image,
-    inference.py:298-327). Returns [len(values), H, W, 3].
-    """
-    values = jnp.asarray(values, jnp.float32)
-
-    @partial(jax.jit, static_argnames=())
-    def sweep(params, x, values):
-        _, _, eps, _, latent, _ = model.encode(params, x,
-                                               deterministic=True)
+@lru_cache(maxsize=32)
+def _sweep_fn(model):
+    @partial(jax.jit, static_argnames=("do_index", "deterministic"))
+    def sweep(params, x, values, rng, do_index, deterministic):
+        _, _, eps, _, latent, _ = model.encode(
+            params, x, rng=None if deterministic else rng,
+            deterministic=deterministic)
 
         def one(v):
             z_do = model.graph.do_intervention(
@@ -66,7 +68,22 @@ def do_sweep(model, params, x_sample, do_index: int, values,
 
         return jax.vmap(one)(values)
 
-    return np.asarray(sweep(params, x_sample, values))
+    return sweep
+
+
+def do_sweep(model, params, x_sample, do_index: int, values,
+             deterministic: bool = True, rng=None):
+    """Counterfactual sweep: decode do(z_{do_index} := v) for each v.
+
+    x_sample: [1, H, W, 3] (the reference sweeps a single image,
+    inference.py:298-327). Returns [len(values), H, W, 3].
+    ``deterministic=False`` sweeps from a posterior sample drawn with
+    ``rng`` instead of the mean encode.
+    """
+    values = jnp.asarray(values, jnp.float32)
+    rng = rng if rng is not None else jax.random.key(0)
+    return np.asarray(_sweep_fn(model)(params, x_sample, values, rng,
+                                       do_index, deterministic))
 
 
 def do_grid(model, params, x_sample, latent_min, latent_max,

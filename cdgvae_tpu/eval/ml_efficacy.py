@@ -30,6 +30,9 @@ def classification_eval(train, test, target):
     from sklearn.ensemble import (RandomForestClassifier,
                                   GradientBoostingClassifier)
     from sklearn.metrics import f1_score
+    # prefix (not exact) exclusion replicates the reference byte-for-byte
+    # (tabular/modules/evaluation.py:39) — it differs from
+    # regression_eval's exact match (:18) in the reference too
     covariates = [x for x in train.columns if not x.startswith(target)]
     result = []
     for name, clf in [

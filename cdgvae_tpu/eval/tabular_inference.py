@@ -8,22 +8,20 @@ import pandas as pd
 import jax
 import jax.numpy as jnp
 
-from ..utils.pc import pc, cpdag_shd
+
 
 
 def gumbel_argmax(logits: np.ndarray, rng: np.random.Generator,
                   eps: float = 1e-20) -> np.ndarray:
     """Gumbel-max categorical sampling (reference tabular/inference.py:202-205;
-    note the reference's G = log(-log(U)) sign quirk is replicated by using
-    standard Gumbel -log(-log(U)) on the log-softmax — the reference adds its
-    G to the log-softmax and takes max, which with its sign amounts to a
-    perturbed argmax; we use the standard form, which matches the intended
-    sampling semantics)."""
+    the reference's G = log(-log(U)) sign quirk amounts to a perturbed
+    argmax — we use the standard Gumbel -log(-log(U)), matching the
+    intended sampling semantics)."""
     u = rng.uniform(size=logits.shape)
     g = -np.log(-np.log(u + eps) + eps)
-    logp = logits - logits.max(axis=1, keepdims=True)
-    logp = logp - np.log(np.exp(logp).sum(axis=1, keepdims=True))
-    return np.argmax(logp + g, axis=1)
+    # argmax is invariant to the per-row log-softmax constant, so perturb
+    # the raw logits directly (identical samples, no exp/sum/log pass)
+    return np.argmax(logits + g, axis=1)
 
 
 def reconstruct_dataset(model, params, x_data, dataset: str,
@@ -87,12 +85,3 @@ def to_frame(recon: np.ndarray, topology, continuous,
     if binarize_income and "income" in df.columns:
         df["income"] = (df["income"] > 0).astype(int)
     return df
-
-
-def cpdag_and_shd(train_frame: pd.DataFrame, other_frame: pd.DataFrame,
-                  alpha: float = 0.05):
-    """PC CPDAG on both frames + the reference's custom SHD between them
-    (inference.py:184-197, :255-261)."""
-    G_train, _ = pc(train_frame.to_numpy(), alpha=alpha)
-    G_other, _ = pc(other_frame.to_numpy(), alpha=alpha)
-    return G_train, G_other, cpdag_shd(G_train, G_other)

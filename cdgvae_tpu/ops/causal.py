@@ -67,6 +67,12 @@ class CausalGraph:
         B = np.asarray(B, dtype=np.float64)
         if not is_dag(B):
             raise ValueError("B must be a DAG")
+        # ancestral_propagate assumes nodes come in topological order
+        # (strictly upper-triangular B) — true for every pendulum/DR/celeba
+        # graph but NOT covtype (reference tabular/main.py:152-159), which
+        # never runs do-interventions. Checked lazily so covtype graphs
+        # still construct.
+        self.topo_ordered = bool(np.allclose(np.tril(B), 0.0))
         self.node = B.shape[0]
         self.B = jnp.asarray(B, dtype=dtype)
         # host-side solve, once (reference modules/model.py:230)
@@ -109,6 +115,12 @@ class CausalGraph:
         z_struct: [batch, node] structural (pre-flow) values where column
         ``do_index`` holds the intervened value; eps: original exogenous noise.
         """
+        if not self.topo_ordered:
+            raise ValueError(
+                "ancestral_propagate requires a topologically ordered "
+                "(strictly upper-triangular) B: column j may only depend on "
+                "columns < j. Reorder the nodes; a valid-but-unordered DAG "
+                "would silently drop its below-diagonal edges here.")
         cols = [z_struct[:, j] for j in range(self.node)]
         for j in range(self.node):  # static unroll; node <= 6
             if j == do_index:

@@ -41,12 +41,16 @@ def kl_std_normal(mean: jax.Array, logvar: jax.Array) -> jax.Array:
     return 0.5 * kl.mean()
 
 
-def alignment_bce(align_latent: jax.Array, labels: jax.Array,
-                  eps: float = 1e-7) -> jax.Array:
+def alignment_bce(align_latent: jax.Array, labels: jax.Array) -> jax.Array:
     """BCE(sigmoid(align_latent), labels) summed over nodes, batch mean.
 
-    Computed in the numerically stable logits form (equivalent to the
-    reference's sigmoid-then-binary_cross_entropy with clamped probs).
+    Computed in the numerically stable logits form. Equal to the
+    reference's sigmoid-then-binary_cross_entropy (modules/train.py:189)
+    everywhere the sigmoid is representable; once a logit saturates past
+    float range (|z| ≳ 90) torch's internal log clamp plateaus while this
+    form keeps growing linearly with gradient sign(z)-y — a deliberate
+    deviation (the stable form is strictly better-behaved for training,
+    and no validated run reaches that regime).
     """
     z = align_latent.astype(jnp.float32)
     y = labels.astype(z.dtype)

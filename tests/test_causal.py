@@ -115,3 +115,20 @@ def test_cyclic_B_rejected():
     C[0, 1] = C[1, 0] = 1.0
     with pytest.raises(ValueError):
         CausalGraph(C)
+
+
+def test_ancestral_propagate_rejects_unordered_dag():
+    """A valid DAG whose nodes are not topologically ordered (edge 1->0,
+    like covtype's below-diagonal edges) must be REJECTED by the
+    ancestral-propagation do-operator path — silently dropping the
+    below-diagonal edges would produce wrong counterfactuals. Construction
+    still succeeds (covtype never runs do-interventions)."""
+    import pytest
+
+    B = np.zeros((2, 2))
+    B[1, 0] = 1.0  # 1 -> 0: valid DAG, not topologically ordered
+    g = CausalGraph(B, scm="linear")
+    assert not g.topo_ordered
+    z = jnp.zeros((3, 2))
+    with pytest.raises(ValueError, match="topologically ordered"):
+        g.ancestral_propagate(z, z, do_index=0)
