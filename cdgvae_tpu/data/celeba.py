@@ -56,6 +56,8 @@ def preprocess(base_dir: str, out_dir: str, causal_structure: str = "smile",
                       columns=["file"] + labels[1].split())
     df_label = df[["file"] + nodes].copy()
     df_label[nodes] = df_label[nodes].astype(float).replace(-1, 0)
+    # index once: per-image full-frame scans are O(n^2) over a 30k corpus
+    label_by_file = df_label.set_index("file")
 
     tag = "train" if train else "test"
     img_out = os.path.join(out_dir, tag, causal_structure)
@@ -83,8 +85,7 @@ def preprocess(base_dir: str, out_dir: str, causal_structure: str = "smile",
                 m = np.zeros((img_size, img_size, 1))
             seg_imgs.append(m)
         concat = np.concatenate([img] + seg_imgs, axis=-1)
-        y = np.array(df_label[df_label["file"] == fname].iloc[0, 1:],
-                     dtype=np.float32)
+        y = np.array(label_by_file.loc[fname], dtype=np.float32)
         np.save(os.path.join(img_out, str(idx)), concat)
         np.save(os.path.join(lab_out, str(idx)), y)
 

@@ -40,6 +40,18 @@ def prefetch_batches(arrays: Sequence[np.ndarray], batch_size: int,
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
 
+    def _put(item):
+        # never block forever: an abandoned consumer (break out of the
+        # loop) may leave the queue full — poll the stop flag instead of
+        # deadlocking the producer thread on a full queue
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for idx in batched_indices(n, batch_size, rng, drop_remainder):
@@ -47,18 +59,23 @@ def prefetch_batches(arrays: Sequence[np.ndarray], batch_size: int,
                     return
                 batch = tuple(
                     jax.device_put(a[idx], sharding) for a in arrays)
-                q.put(batch)
-        finally:
-            q.put(None)
+                if not _put(("batch", batch)):
+                    return
+        except BaseException as e:  # propagate to the consumer
+            _put(("error", e))
+        else:
+            _put(("end", None))
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
     try:
         while True:
-            batch = q.get()
-            if batch is None:
+            kind, payload = q.get()
+            if kind == "end":
                 return
-            yield batch
+            if kind == "error":
+                raise payload
+            yield payload
     finally:
         stop.set()
         # drain so the producer can exit

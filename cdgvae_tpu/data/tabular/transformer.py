@@ -69,7 +69,9 @@ class ClusterBasedNormalizer:
 
     def fit(self, data: np.ndarray):
         data = np.asarray(data, dtype=np.float64).ravel()
-        self._fill = float(np.nanmean(data)) if np.isnan(data).any() else 0.0
+        # fill is ALWAYS the column mean: a NaN seen only at transform time
+        # must not be imputed with 0.0 (far outside the fitted components)
+        self._fill = float(np.nanmean(data))
         data = np.where(np.isnan(data), self._fill, data)
         self._bgm = BayesianGaussianMixture(
             n_components=min(len(data), self.max_clusters),

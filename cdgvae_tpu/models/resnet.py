@@ -17,6 +17,9 @@ import math
 import jax
 import jax.numpy as jnp
 
+from ..nn import (batchnorm as _batchnorm,  # shared batch-stats BN
+                 bn_init as _bn_init)
+
 Params = dict
 
 
@@ -36,14 +39,9 @@ def _conv(p, x, stride=1):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-def _bn_init(ch, dtype=jnp.float32):
-    return {"scale": jnp.ones((ch,), dtype), "bias": jnp.zeros((ch,), dtype)}
 
-
-def _bn(p, x, eps=1e-5):
-    mean = x.mean(axis=(0, 1, 2), keepdims=True)
-    var = x.var(axis=(0, 1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+def _bn(p, x):
+    return _batchnorm(x, p["scale"], p["bias"])
 
 
 def _basic_block_init(key, in_ch, out_ch, dtype=jnp.float32):

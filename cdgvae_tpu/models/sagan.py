@@ -22,6 +22,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..nn import batchnorm, bn_init  # shared batch-stats BN
+
 SN_POWER_ITERS = 3
 
 Params = dict
@@ -131,14 +133,6 @@ def noise_injection(p: Params, x: jax.Array, rng) -> jax.Array:
     return x + p["weight"] * noise
 
 
-def batchnorm(x: jax.Array, scale, bias, eps: float = 1e-5) -> jax.Array:
-    mean = x.mean(axis=(0, 1, 2), keepdims=True)
-    var = x.var(axis=(0, 1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
-
-
-def bn_init(ch, dtype=jnp.float32) -> Params:
-    return {"scale": jnp.ones((ch,), dtype), "bias": jnp.zeros((ch,), dtype)}
 
 
 def _upsample2(x):

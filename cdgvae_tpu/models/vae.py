@@ -217,20 +217,10 @@ class CDGVAE:
         }
 
     # -- reference method surface -------------------------------------------
-    def get_posterior(self, params, x):
-        h = nn.mlp(params["encoder"], x.reshape(x.shape[0], -1))
-        return h[:, : self.node], h[:, self.node:]
-
-    def encode(self, params, x, rng=None, deterministic=False):
-        mean, logvar = self.get_posterior(params, x)
-        if deterministic or rng is None:
-            epsilon = mean
-        else:
-            noise = jax.random.normal(rng, mean.shape, mean.dtype)
-            epsilon = mean + jnp.exp(logvar / 2.0) * noise
-        orig_latent, latent, logdet = self.graph.transform(
-            params["causal"], epsilon)
-        return mean, logvar, epsilon, orig_latent, latent, logdet
+    # identical encoder to the baseline VAE: share the implementations
+    # (same idiom as models/tabular.py) so a change propagates to both
+    get_posterior = VAE.get_posterior
+    encode = VAE.encode
 
     def _decoder_hidden(self, params, latent):
         """[batch, node] -> [K, batch, hidden]: all hidden layers of the K

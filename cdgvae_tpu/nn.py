@@ -140,5 +140,21 @@ def conv2d(params: Params, x: jax.Array, stride: int = 1,
     return y + params["b"]
 
 
+def bn_init(ch, dtype=default_dtype) -> Params:
+    return {"scale": jnp.ones((ch,), dtype), "bias": jnp.zeros((ch,), dtype)}
+
+
+def batchnorm(x: jax.Array, scale, bias, eps: float = 1e-5) -> jax.Array:
+    """Batch-statistics BatchNorm over NHWC (mean/var across N,H,W).
+
+    Single shared implementation for the ResNet encoder and the SAGAN
+    generators (documented deviation from torch's running stats —
+    models/sagan.py module docstring).
+    """
+    mean = x.mean(axis=(0, 1, 2), keepdims=True)
+    var = x.var(axis=(0, 1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
 def count_params(params) -> int:
     return sum(p.size for p in jax.tree_util.tree_leaves(params))

@@ -104,15 +104,24 @@ def pc(data: np.ndarray, alpha: float = 0.05, max_cond: int | None = None,
             for j in range(i + 1, d):
                 if not adj[i, j]:
                     continue
-                neighbors = [k for k in range(d)
-                             if adj_frozen[i, k] and k != j]
-                if len(neighbors) < level:
-                    continue
-                for cond in combinations(neighbors, level):
-                    any_tested = True
-                    if ci_pvalue(i, j, cond) > alpha:
-                        adj[i, j] = adj[j, i] = False
-                        sepset[(i, j)] = sepset[(j, i)] = set(cond)
+                # the PC algorithm conditions on subsets of adj(i)\{j}
+                # AND adj(j)\{i} — testing only one side misses edges
+                # whose separating set lives in the other endpoint's
+                # neighborhood (e.g. a collider's parents)
+                removed = False
+                for a, b in ((i, j), (j, i)):
+                    neighbors = [k for k in range(d)
+                                 if adj_frozen[a, k] and k != b]
+                    if len(neighbors) < level:
+                        continue
+                    for cond in combinations(neighbors, level):
+                        any_tested = True
+                        if ci_pvalue(i, j, cond) > alpha:
+                            adj[i, j] = adj[j, i] = False
+                            sepset[(i, j)] = sepset[(j, i)] = set(cond)
+                            removed = True
+                            break
+                    if removed:
                         break
         if not any_tested:
             break

@@ -30,14 +30,20 @@ def viz_do_grid(images: np.ndarray, path: str, row_names=None):
     (reference inference.py:298-334)."""
     plt = _plt()
     node, k = images.shape[:2]
-    fig, ax = plt.subplots(node, k, figsize=(k, node * 0.6 + 1))
+    # squeeze=False: ax is always 2-D, also for 1-row/1-column grids
+    fig, ax = plt.subplots(node, k, figsize=(k, node * 0.6 + 1),
+                           squeeze=False)
     for i in range(node):
         for j in range(k):
-            a = ax[i, j] if node > 1 else ax[j]
+            a = ax[i, j]
             a.imshow(np.clip((np.asarray(images[i, j]) + 1) / 2, 0, 1))
             a.axis("off")
         if row_names is not None:
-            (ax[i, 0] if node > 1 else ax[0]).set_ylabel(row_names[i])
+            # axis('off') suppresses ylabel artists — draw the row name as
+            # text in axes coordinates instead
+            ax[i, 0].text(-0.08, 0.5, str(row_names[i]), rotation=90,
+                          va="center", ha="right",
+                          transform=ax[i, 0].transAxes, fontsize=8)
     plt.tight_layout()
     plt.savefig(path, bbox_inches="tight")
     plt.close(fig)

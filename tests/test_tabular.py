@@ -220,3 +220,27 @@ def test_pc_chisq_recovers_discrete_v_structure():
               indep_test="chisq")
     assert G[0, 2] == 0 and G[2, 0] == 0  # x indep z marginally
     assert G[0, 1] != 0 and G[2, 1] != 0
+
+
+def test_pc_removes_edge_separated_by_other_endpoints_neighbors():
+    """The separating set of (0,1) below is {2,3} ⊂ adj(1): 0->2, 3->2,
+    2->1, 3->1. A skeleton that only conditions on adj(0) can never remove
+    the spurious 0-1 edge (conditioning on {2} opens the collider
+    0->2<-3->1). The PC loop must test both endpoints' neighborhoods."""
+    from cdgvae_tpu.utils.pc import pc
+
+    rng = np.random.default_rng(0)
+    n = 20000
+    x0 = rng.normal(size=n)
+    x3 = rng.normal(size=n)
+    # unequal weights: the naive equal-weight DGP is coincidentally
+    # unfaithful for the 2-3 edge (its partial correlation given {0,1}
+    # cancels to ~0, so any correct PC drops it)
+    x2 = 1.0 * x0 + 0.7 * x3 + 0.5 * rng.normal(size=n)
+    x1 = 0.6 * x2 + 1.3 * x3 + 0.5 * rng.normal(size=n)
+    data = np.stack([x0, x1, x2, x3], axis=1)
+    G, _ = pc(data, alpha=0.01)  # causallearn encoding
+    assert G[0, 1] == 0 and G[1, 0] == 0, "spurious 0-1 edge not removed"
+    # the true adjacencies all survive
+    for a, b in [(0, 2), (3, 2), (2, 1), (3, 1)]:
+        assert G[a, b] != 0 or G[b, a] != 0
