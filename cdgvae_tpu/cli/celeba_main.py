@@ -23,7 +23,8 @@ from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
 from ..utils.viz import viz_recon_grid
-from .common import (add_infra_args, resolve_mesh,
+from .common import (arg_as_bool,
+                     add_infra_args, resolve_mesh,
                      add_resume_arg, apply_resume)
 
 
@@ -40,8 +41,8 @@ def get_args(debug: bool = False, argv=None):
     parser.add_argument("--flow_num", default=1, type=int)
     parser.add_argument("--inverse_loop", default=100, type=int)
     parser.add_argument("--labeled_ratio", default=1, type=float)
-    parser.add_argument("--label_normalization", default=True, type=bool)
-    parser.add_argument("--adjacency_scaling", default=True, type=bool)
+    parser.add_argument("--label_normalization", default=True, type=arg_as_bool)
+    parser.add_argument("--adjacency_scaling", default=True, type=arg_as_bool)
     parser.add_argument("--img_size", default=128, type=int)
     parser.add_argument("--epochs", default=100, type=int)
     parser.add_argument("--batch_size", default=16, type=int)

@@ -22,6 +22,22 @@ def arg_as_list(s: str):
     return v
 
 
+def arg_as_bool(s):
+    """Boolean flag parser. The reference uses ``type=bool``, under which
+    every non-empty string — including 'False' — parses as True, so its
+    False branches are unreachable from the CLI; this parser keeps the
+    flag names/defaults but makes '--flag False' actually work
+    (documented deviation)."""
+    if isinstance(s, bool):
+        return s
+    v = s.strip().lower()
+    if v in ("true", "1", "yes", "y"):
+        return True
+    if v in ("false", "0", "no", "n"):
+        return False
+    raise argparse.ArgumentTypeError(f'expected a boolean, got "{s}"')
+
+
 def add_infra_args(parser: argparse.ArgumentParser):
     """Framework-side flags that have no reference counterpart."""
     parser.add_argument("--wandb", action="store_true",

@@ -19,7 +19,8 @@ from ..train.scanned import make_scanned_epochs_semi
 from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
-from .common import (arg_as_list, add_infra_args, add_png_data_dir_arg,
+from .common import (arg_as_bool,
+                     arg_as_list, add_infra_args, add_png_data_dir_arg,
                      resolve_mesh, add_resume_arg, apply_resume)
 
 
@@ -33,8 +34,8 @@ def get_args(debug: bool = False, argv=None):
     parser.add_argument("--inverse_loop", default=100, type=int)
     parser.add_argument("--factor", default=[1, 1, 2], type=arg_as_list)
     parser.add_argument("--labeled_ratio", default=0.1, type=float)
-    parser.add_argument("--label_normalization", default=True, type=bool)
-    parser.add_argument("--adjacency_scaling", default=True, type=bool)
+    parser.add_argument("--label_normalization", default=True, type=arg_as_bool)
+    parser.add_argument("--adjacency_scaling", default=True, type=arg_as_bool)
     parser.add_argument("--image_size", default=64, type=int)
     parser.add_argument("--epochs", default=100, type=int)
     parser.add_argument("--batch_size", default=128, type=int)

@@ -24,7 +24,8 @@ from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
 from ..utils.viz import viz_recon_grid
-from .common import (arg_as_list, add_infra_args, add_png_data_dir_arg,
+from .common import (arg_as_bool,
+                     arg_as_list, add_infra_args, add_png_data_dir_arg,
                      resolve_mesh, add_resume_arg)
 
 
@@ -47,9 +48,9 @@ def get_args(debug: bool = False, argv=None):
                         help="Numbers of latents allocated to each factor")
     parser.add_argument("--labeled_ratio", default=1, type=float,
                         help="ratio of labeled dataset for semi-supervised")
-    parser.add_argument("--label_normalization", default=True, type=bool,
+    parser.add_argument("--label_normalization", default=True, type=arg_as_bool,
                         help="If True, normalize additional label data")
-    parser.add_argument("--adjacency_scaling", default=True, type=bool,
+    parser.add_argument("--adjacency_scaling", default=True, type=arg_as_bool,
                         help="If True, scale adjacency matrix by in-degree")
     parser.add_argument("--image_size", default=64, type=int,
                         help="width and height of image")

@@ -19,7 +19,7 @@ from ..train.loop import Averager, batch_indices, format_epoch
 from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
-from .common import add_infra_args, add_png_data_dir_arg
+from .common import add_infra_args, add_png_data_dir_arg, arg_as_bool
 
 
 def classifier_masks(image_size: int = 64, node: int = 4) -> np.ndarray:
@@ -34,7 +34,7 @@ def get_args(debug: bool = False, argv=None):
     parser.add_argument("--node", default=4, type=int)
     parser.add_argument("--image_size", default=64, type=int)
     parser.add_argument("--labeled_ratio", default=1, type=float)
-    parser.add_argument("--label_normalization", default=True, type=bool)
+    parser.add_argument("--label_normalization", default=True, type=arg_as_bool)
     parser.add_argument("--epochs", default=50, type=int)
     parser.add_argument("--batch_size", default=128, type=int)
     parser.add_argument("--lr", default=0.001, type=float)

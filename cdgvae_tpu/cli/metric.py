@@ -44,9 +44,20 @@ def main(argv=None):
     params = ckpt["params"]
 
     clf_ckpt = load_checkpoint(args.classifier_checkpoint)
-    masks = classifier_masks(config["image_size"], config["node"])
-    classifier = FactorClassifier(masks, config["node"],
-                                  config["image_size"])
+    # rebuild the classifier from ITS OWN checkpoint config — the two CLIs
+    # expose image_size/node independently, so the model's config may
+    # legitimately differ (shapes would mismatch or masks silently shift)
+    clf_cfg = clf_ckpt["config"] or config
+    if (clf_cfg["image_size"], clf_cfg["node"]) != (
+            config["image_size"], config["node"]):
+        raise ValueError(
+            f"classifier was trained at image_size={clf_cfg['image_size']}"
+            f"/node={clf_cfg['node']} but the model uses "
+            f"{config['image_size']}/{config['node']} — retrain the CDM "
+            "classifier at the model's geometry")
+    masks = classifier_masks(clf_cfg["image_size"], clf_cfg["node"])
+    classifier = FactorClassifier(masks, clf_cfg["node"],
+                                  clf_cfg["image_size"])
     clf_params = clf_ckpt["params"]
 
     dataset = PendulumDataset(data_dir=config.get("data_dir") or None,

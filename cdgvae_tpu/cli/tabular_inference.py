@@ -54,6 +54,10 @@ def main(argv=None):
     recon = reconstruct_dataset(model, params, x_data, dataset_name,
                                 seed=config["seed"])
     recon_df = to_frame(recon, train.topology, train.continuous)
+    # fisherz (the default) for recon/sample CPDAGs even where the real
+    # data used chisq — faithful to the reference, which hard-codes
+    # fisherz for the model outputs (inference.py:250-252, :277-279;
+    # the decoder emits continuous values)
     G_recon, _ = pc(recon_df.to_numpy(), alpha=0.05)
     results["SHD (Train)"] = cpdag_shd(G_real, G_recon)
     print(f"SHD (Train): {results['SHD (Train)']}")

@@ -46,7 +46,11 @@ def main(argv=None):
     os.makedirs(args.assets_dir, exist_ok=True)
     results = {}
 
-    G_real, _ = pc(train.frame.to_numpy(), alpha=0.05)
+    # real data: chisq for loan/adult, fisherz for covtype
+    # (inference_tvae.py:189-222); recon/sample CPDAGs below stay fisherz
+    # like the reference (:268, :321 — the decoder emits continuous values)
+    i_test = "fisherz" if dataset_name == "covtype" else "chisq"
+    G_real, _ = pc(train.frame.to_numpy(), alpha=0.05, indep_test=i_test)
 
     raw = sample_synthetic_tvae(model, params, transformer,
                                 len(train.x_data), seed=config["seed"])

@@ -17,7 +17,8 @@ from ..train.loop import train_epoch, format_epoch, run_scanned_chunks
 from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
-from .common import (add_infra_args, resolve_mesh, arg_as_list,
+from .common import (arg_as_bool,
+                     add_infra_args, resolve_mesh, arg_as_list,
                      add_resume_arg, apply_resume)
 
 
@@ -41,7 +42,7 @@ def get_args(debug: bool = False, argv=None):
     parser.add_argument("--scm", default="linear", type=str)
     parser.add_argument("--flow_num", default=1, type=int)
     parser.add_argument("--inverse_loop", default=100, type=int)
-    parser.add_argument("--adjacency_scaling", default=True, type=bool)
+    parser.add_argument("--adjacency_scaling", default=True, type=arg_as_bool)
     parser.add_argument("--epochs", default=200, type=int)
     parser.add_argument("--batch_size", default=256, type=int)
     parser.add_argument("--lr", default=0.01, type=float)

@@ -282,6 +282,8 @@ class CDGVAE:
         return jnp.tanh(xhat.reshape(-1, self.image_size, self.image_size,
                                      3))
 
+    supports_fast_decode = True  # train/steps._forward keys on this
+
     def __call__(self, params, x, rng=None, deterministic=False,
                  fast: bool = False) -> VAEOutput:
         mean, logvar, epsilon, orig_latent, latent, logdet = self.encode(

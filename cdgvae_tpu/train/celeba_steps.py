@@ -25,10 +25,9 @@ def make_celeba_loss_fn(model, beta: float, lam: float, compute_dtype=None):
 
     def loss_fn(params, x, y, rng):
         if compute_dtype is not None:
-            cast = jax.tree.map(
-                lambda p: p.astype(compute_dtype)
-                if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
-            out = model(cast, x.astype(compute_dtype), rng)
+            from .steps import cast_compute
+            cast, x_c = cast_compute(params, x, compute_dtype)
+            out = model(cast, x_c, rng)
             out = jax.tree.map(
                 lambda t: t.astype(jnp.float32)
                 if isinstance(t, jax.Array)

@@ -49,6 +49,12 @@ def train_epoch(step: Callable, state: tuple, x, y, batch_size: int,
     """One epoch of the supervised step. ``state`` = (params, opt_state, ...)
     threaded through; returns (state, epoch-mean metric dict)."""
     n = len(x)
+    if drop_remainder and n < batch_size:
+        raise ValueError(
+            f"dataset ({n}) smaller than batch_size ({batch_size}) with "
+            "drop_remainder — every epoch would run zero steps and the "
+            "final checkpoint would hold untrained params; lower "
+            "batch_size")
     avg = Averager()
     for b, idx in enumerate(batch_indices(n, batch_size, shuffle_rng,
                                           drop_remainder)):

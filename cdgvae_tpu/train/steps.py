@@ -30,14 +30,23 @@ def _forward(model, params, x, rng, compute_dtype=None):
     optionally run the network in a lower compute dtype (params stay f32 in
     the optimizer — classic mixed precision; losses upcast to f32)."""
     if compute_dtype is not None:
-        params = jax.tree.map(
-            lambda p: p.astype(compute_dtype)
-            if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
-        x = x.astype(compute_dtype)
-    try:
+        params, x = cast_compute(params, x, compute_dtype)
+    # support detected by attribute, not try/except TypeError — a bare
+    # except would also swallow genuine TypeErrors raised INSIDE the fast
+    # decode and silently reroute to the slow path
+    if getattr(model, "supports_fast_decode", False):
         return model(params, x, rng, fast=True)
-    except TypeError:
-        return model(params, x, rng)
+    return model(params, x, rng)
+
+
+def cast_compute(params, x, compute_dtype):
+    """Mixed precision cast: float params + inputs to ``compute_dtype``
+    (optimizer/losses stay f32 at the call sites). Shared by the pendulum
+    and celeba step builders."""
+    params = jax.tree.map(
+        lambda p: p.astype(compute_dtype)
+        if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
+    return params, x.astype(compute_dtype)
 
 
 def _metrics(loss, recon, kl, align, logvar, node, extra=None):

@@ -13,8 +13,11 @@ def _plt():
 
 
 def viz_recon_grid(xhat: np.ndarray, path: str, n: int = 9):
-    """3x3 grid of reconstructions in [0,1] (reference main.py:213-220)."""
+    """3x3 grid of reconstructions in [0,1] (reference main.py:213-220).
+    Draws min(n, len(xhat)) panels — small smoke batches must not crash
+    the epoch-0 viz."""
     plt = _plt()
+    n = min(n, len(xhat))
     fig = plt.figure(figsize=(4, 4))
     for i in range(n):
         plt.subplot(3, 3, i + 1)
