@@ -18,7 +18,6 @@ from ..models.celeba import CelebACDGVAE, celeba_B
 from ..ops.causal import CausalGraph
 from ..train.celeba_steps import make_celeba_step, celeba_unjitted_step
 from ..train.loop import train_epoch, format_epoch
-from ..train.loop import run_scanned_chunks
 from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
@@ -119,33 +118,28 @@ def main(argv=None):
     if not config["eager"]:
         # dataset is device-resident -> scan-compile whole epoch chunks
         # (one dispatch per <=10 epochs; drop_last matches the reference,
-        # celeba/main.py:70-72); recon viz at every chunk boundary
+        # celeba/main.py:70-72); recon viz at every chunk boundary. Under
+        # --dp the shared driver swaps in the shard_map trainer with the
+        # dual-latent L1 loss — the one family big enough (49M params,
+        # convs) that DP over ICI genuinely pays. The driver takes
+        # ownership of the data list: at 128px the corpus is GBs, so
+        # nulling our locals releases the unsharded copy after the dp
+        # reshard (viz keeps only the n_viz-row slice).
+        from ..train.celeba_steps import make_celeba_loss_fn
+        from .common import run_scanned_training
         raw = celeba_unjitted_step(model, optimizer, config["beta"],
                                    config["lambda"],
                                    compute_dtype=compute_dtype)
-        make_runner = None
-        xd, yd = x_data, y_data
-        if mesh is not None:
-            # multi-chip: shard_map scanned trainer with the dual-latent
-            # L1 loss — the one family big enough (49M params, convs)
-            # that DP over ICI genuinely pays
-            from ..train.celeba_steps import make_celeba_loss_fn
-            from .common import sharded_scan_setup
-            xd, yd, make_runner = sharded_scan_setup(
-                mesh, x_data, y_data,
-                make_celeba_loss_fn(model, config["beta"],
-                                    config["lambda"],
-                                    compute_dtype=compute_dtype),
-                optimizer, config["batch_size"])
-            # at 128px the dataset is GBs: release the unsharded copy
-            # (viz keeps only the n_viz-row slice)
-            x_data = y_data = None
-        state = run_scanned_chunks(
-            raw, state, xd, yd, k_train,
-            epochs=config["epochs"], start_epoch=start_epoch,
-            batch_size=config["batch_size"],
-            chunk=10, on_epoch=on_epoch, post_epoch=post_epoch,
-            make_runner=make_runner)
+        data = [x_data, y_data]
+        x_data = y_data = None
+        state = run_scanned_training(
+            config, raw_step=raw, state=state, data=data, k_train=k_train,
+            mesh=mesh,
+            make_loss=lambda: make_celeba_loss_fn(
+                model, config["beta"], config["lambda"],
+                compute_dtype=compute_dtype),
+            optimizer=optimizer, chunk=10, start_epoch=start_epoch,
+            on_epoch=on_epoch, post_epoch=post_epoch)
     else:
         step = make_celeba_step(model, optimizer, config["beta"],
                                 config["lambda"], mesh=mesh,

@@ -192,6 +192,79 @@ def sharded_scan_setup(mesh, x_data, y_data, loss_fn, optimizer,
     return xd, yd, make_runner
 
 
+def run_scanned_training(config, *, raw_step, state, data, k_train, mesh,
+                         make_loss, optimizer, chunk=5, start_epoch=0,
+                         on_epoch=None, post_epoch=None,
+                         post_epoch_pred=None, post_update=None,
+                         pair=False):
+    """The scan-compiled training branch shared by every supervised /
+    InfoMax training CLI (pendulum, DR, tabular, TVAE, CelebA): wires the
+    single-device scanned runner, or — under a dp mesh — the shard_map
+    scanned trainer, then drives chunked dispatches via
+    ``train.loop.run_scanned_chunks`` (``_pair`` for InfoMax).
+
+    ``data`` is a LIST ``[x, y]`` this function takes ownership of (it is
+    cleared on entry): under a mesh the arrays are resharded over the dp
+    axis, and a caller that also nulls its own locals thereby releases the
+    unsharded copies (the 128px CelebA corpus is GBs — keep only a viz
+    slice). ``make_loss()`` is invoked only when a mesh is active: the
+    sharded runner is built from the bare loss fn + ``optimizer``, while
+    single-device execution reuses ``raw_step`` (the unjitted fused step).
+    ``pair=True`` runs the InfoMax (model, discriminator) 4-tuple adapter;
+    ``optimizer`` must then be the fused pair optimizer
+    (``train.steps.pair_infomax_optimizer``). Remaining kwargs forward to
+    ``run_scanned_chunks``.
+    """
+    from ..train.loop import run_scanned_chunks, run_scanned_chunks_pair
+
+    x, y = data
+    data.clear()
+    make_runner = None
+    if mesh is not None:
+        x, y, make_runner = sharded_scan_setup(
+            mesh, x, y, make_loss(), optimizer, config["batch_size"],
+            post_update=post_update)
+    run = run_scanned_chunks_pair if pair else run_scanned_chunks
+    return run(raw_step, state, x, y, k_train,
+               epochs=config["epochs"], start_epoch=start_epoch,
+               batch_size=config["batch_size"], chunk=chunk,
+               on_epoch=on_epoch, post_epoch=post_epoch,
+               post_epoch_pred=post_epoch_pred, make_runner=make_runner)
+
+
+def run_scanned_training_semi(config, *, raw_step, state, data, k_train,
+                              mesh, make_loss, optimizer, chunk=10,
+                              start_epoch=0, on_epoch=None):
+    """Semi-supervised counterpart of :func:`run_scanned_training` for the
+    (unlabeled, labeled, labels) two-stream trainers (cli.main_semi /
+    cli.dr_main_semi). ``data`` is a list ``[x_u, x_l, y_l]`` taken by
+    ownership; both streams shard over dp under a mesh (each device cycles
+    its own labeled shard), batch sizes clamp to their stream sizes."""
+    from ..train.loop import run_scanned_chunks
+    from ..train.scanned import make_scanned_epochs_semi
+
+    x_u, x_l, y_l = data
+    data.clear()
+    if mesh is not None:
+        x_u, x_l, y_l, make_runner = sharded_scan_setup_semi(
+            mesh, x_u, x_l, y_l, make_loss(), optimizer,
+            config["batch_size"], config["batch_sizeL"])
+        bs = min(config["batch_size"], len(x_u))
+    else:
+        bs = min(config["batch_size"], len(x_u))
+        bs_l = min(config["batch_sizeL"], len(x_l))
+
+        def make_runner(n):
+            return make_scanned_epochs_semi(raw_step, bs, bs_l,
+                                            n_epochs_per_call=n)
+
+    return run_scanned_chunks(
+        raw_step, state, x_u, y_l, k_train,
+        epochs=config["epochs"], start_epoch=start_epoch,
+        batch_size=bs, chunk=chunk, on_epoch=on_epoch,
+        batch_args=(x_u, x_l, y_l), make_runner=make_runner)
+
+
 def sharded_scan_setup_semi(mesh, x_u, x_l, y_l, loss_fn, optimizer,
                             batch_size: int, batch_size_l: int):
     """Semi-supervised variant of :func:`sharded_scan_setup`: shard both

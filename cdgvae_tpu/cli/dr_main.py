@@ -12,7 +12,7 @@ import optax
 from ..data.pendulum_dr import PendulumDRDataset
 from ..factory import build_pendulum_model
 from ..train.steps import make_train_step, make_infomax_step
-from ..train.loop import train_epoch, format_epoch, run_scanned_chunks
+from ..train.loop import train_epoch, format_epoch
 from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
@@ -106,57 +106,43 @@ def main(argv=None):
                            f"{config['assets_dir']}/tmp_image_{epoch}.png")
 
     if config["model"] != "InfoMax" and not config["eager"]:
+        # scanned trainer; --dp swaps in the shard_map trainer (same
+        # wiring as cli.main — DR uses the identical supervised loss)
+        from ..train.scanned import make_supervised_loss_fn
+        from .common import run_scanned_training
         raw = make_train_step(model, optimizer, config["beta"],
                               config["lambda"], jit=False)
-        make_runner = None
-        xd, yd = x_data, y_data
-        if mesh is not None:
-            # multi-chip: shard_map scanned trainer (same wiring as
-            # cli.main --dp; DR uses the identical supervised loss)
-            from ..train.scanned import make_supervised_loss_fn
-            from .common import sharded_scan_setup
-            xd, yd, make_runner = sharded_scan_setup(
-                mesh, x_data, y_data,
-                make_supervised_loss_fn(model, config["beta"],
-                                        config["lambda"]),
-                optimizer, config["batch_size"])
-            x_data = y_data = None  # training uses the sharded copy
-        state = run_scanned_chunks(
-            raw, state, xd, yd, k_train,
-            epochs=config["epochs"], start_epoch=start_epoch,
-            batch_size=config["batch_size"],
+        data = [x_data, y_data]
+        x_data = y_data = None  # driver owns the training copy
+        state = run_scanned_training(
+            config, raw_step=raw, state=state, data=data, k_train=k_train,
+            mesh=mesh,
+            make_loss=lambda: make_supervised_loss_fn(
+                model, config["beta"], config["lambda"]),
+            optimizer=optimizer, start_epoch=start_epoch,
             on_epoch=on_epoch, post_epoch=post_epoch,
-            post_epoch_pred=lambda e: e % 10 == 0,
-            make_runner=make_runner)
+            post_epoch_pred=lambda e: e % 10 == 0)
     elif config["model"] == "InfoMax" and not config["eager"]:
         # InfoMax scanned (pair states), single-device or mesh — same
         # wiring as cli.main
         from ..train.steps import (pair_infomax_step, make_infomax_loss_fn,
                                    pair_infomax_optimizer)
-        from ..train.loop import run_scanned_chunks_pair
+        from .common import run_scanned_training
         raw = pair_infomax_step(make_infomax_step(
             model, discriminator, optimizer, optimizer_d, config["beta"],
             config["lambda"], config["gamma"], jit=False))
-        make_runner = None
-        xd, yd = x_data, y_data
-        if mesh is not None:
-            from .common import sharded_scan_setup
-            xd, yd, make_runner = sharded_scan_setup(
-                mesh, x_data, y_data,
-                make_infomax_loss_fn(model, discriminator, config["beta"],
-                                     config["lambda"], config["gamma"],
-                                     marginal="roll"),
-                pair_infomax_optimizer(optimizer, optimizer_d),
-                config["batch_size"])
-            x_data = y_data = None  # training uses the sharded copy
-        state = run_scanned_chunks_pair(
-            raw, state, xd, yd, k_train,
-            epochs=config["epochs"], start_epoch=start_epoch,
-            batch_size=config["batch_size"],
-            on_epoch=on_epoch,
+        data = [x_data, y_data]
+        x_data = y_data = None  # driver owns the training copy
+        state = run_scanned_training(
+            config, raw_step=raw, state=state, data=data, k_train=k_train,
+            mesh=mesh,
+            make_loss=lambda: make_infomax_loss_fn(
+                model, discriminator, config["beta"], config["lambda"],
+                config["gamma"], marginal="roll"),
+            optimizer=pair_infomax_optimizer(optimizer, optimizer_d),
+            start_epoch=start_epoch, on_epoch=on_epoch,
             post_epoch=lambda s, e: post_epoch((s[0][0],), e),
-            post_epoch_pred=lambda e: e % 10 == 0,
-            make_runner=make_runner)
+            post_epoch_pred=lambda e: e % 10 == 0, pair=True)
     else:
         for epoch in range(start_epoch, config["epochs"]):
             state, metrics = train_epoch(

@@ -18,8 +18,6 @@ from ..factory import build_pendulum_model
 from ..train.steps import (make_train_step, make_infomax_step,
                            pair_infomax_step)
 from ..train.loop import train_epoch, format_epoch
-from ..train.loop import (run_scanned_chunks,  # noqa: F401 (re-exported)
-                          run_scanned_chunks_pair)
 from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
@@ -178,60 +176,46 @@ def main(argv=None):
         # viz/checkpoint epoch so those artifacts are built from the EXACT
         # post-epoch state. The remainder batch of each epoch is dropped
         # (fixed shapes under scan; <2% of steps at the reference sizes;
-        # --eager restores the exact per-batch protocol).
+        # --eager restores the exact per-batch protocol). Under --dp the
+        # shared driver swaps in the shard_map scanned trainer (per-shard
+        # shuffling, one gradient pmean per step over ICI).
+        from ..train.scanned import make_supervised_loss_fn
+        from .common import run_scanned_training
         raw = make_train_step(model, optimizer, config["beta"],
                               config["lambda"], jit=False)
-        make_runner = None
-        xd, yd = x_data, y_data
-        if mesh is not None:
-            # multi-chip: shard the dataset over the dp axis and use the
-            # shard_map scanned trainer (per-shard shuffling, one gradient
-            # pmean per step over ICI)
-            from ..train.scanned import make_supervised_loss_fn
-            from .common import sharded_scan_setup
-            xd, yd, make_runner = sharded_scan_setup(
-                mesh, x_data, y_data,
-                make_supervised_loss_fn(model, config["beta"],
-                                        config["lambda"]),
-                optimizer, config["batch_size"])
-            x_data = y_data = None  # training uses the sharded copy
-        state = run_scanned_chunks(
-            raw, state, xd, yd, k_train,
-            epochs=config["epochs"], start_epoch=start_epoch,
-            batch_size=config["batch_size"], chunk=5,
+        data = [x_data, y_data]
+        x_data = y_data = None  # driver owns the training copy
+        state = run_scanned_training(
+            config, raw_step=raw, state=state, data=data, k_train=k_train,
+            mesh=mesh,
+            make_loss=lambda: make_supervised_loss_fn(
+                model, config["beta"], config["lambda"]),
+            optimizer=optimizer, chunk=5, start_epoch=start_epoch,
             on_epoch=_on_epoch, post_epoch=_post_epoch,
-            post_epoch_pred=pred, make_runner=make_runner)
+            post_epoch_pred=pred)
     elif config["model"] == "InfoMax" and not config["eager"]:
         # InfoMax under the same scanned trainer: (model, discriminator)
-        # params/opt states ride as pairs
+        # params/opt states ride as pairs with the fused pair optimizer.
+        # marginal="roll" keeps the per-device MI marginal non-degenerate
+        # at small local batches (see marginal_epsilon)
+        from ..train.steps import (make_infomax_loss_fn,
+                                   pair_infomax_optimizer)
+        from .common import run_scanned_training
         raw = pair_infomax_step(make_infomax_step(
             model, discriminator, optimizer, optimizer_d, config["beta"],
             config["lambda"], config["gamma"], jit=False))
-        make_runner = None
-        xd, yd = x_data, y_data
-        if mesh is not None:
-            # multi-chip: the joint (γ+1)·MI loss over the pair pytree
-            # with the fused pair optimizer (state layout unchanged).
-            # marginal="roll" keeps the per-device MI marginal
-            # non-degenerate at small local batches (see marginal_epsilon)
-            from ..train.steps import (make_infomax_loss_fn,
-                                       pair_infomax_optimizer)
-            from .common import sharded_scan_setup
-            xd, yd, make_runner = sharded_scan_setup(
-                mesh, x_data, y_data,
-                make_infomax_loss_fn(model, discriminator, config["beta"],
-                                     config["lambda"], config["gamma"],
-                                     marginal="roll"),
-                pair_infomax_optimizer(optimizer, optimizer_d),
-                config["batch_size"])
-            x_data = y_data = None  # training uses the sharded copy
-        state = run_scanned_chunks_pair(
-            raw, state, xd, yd, k_train,
-            epochs=config["epochs"], start_epoch=start_epoch,
-            batch_size=config["batch_size"], chunk=5,
-            on_epoch=_on_epoch,
+        data = [x_data, y_data]
+        x_data = y_data = None  # driver owns the training copy
+        state = run_scanned_training(
+            config, raw_step=raw, state=state, data=data, k_train=k_train,
+            mesh=mesh,
+            make_loss=lambda: make_infomax_loss_fn(
+                model, discriminator, config["beta"], config["lambda"],
+                config["gamma"], marginal="roll"),
+            optimizer=pair_infomax_optimizer(optimizer, optimizer_d),
+            chunk=5, start_epoch=start_epoch, on_epoch=_on_epoch,
             post_epoch=lambda s, e: _post_epoch((s[0][0], s[1][0]), e),
-            post_epoch_pred=pred, make_runner=make_runner)
+            post_epoch_pred=pred, pair=True)
     else:
         for epoch in range(start_epoch, config["epochs"]):
             state, metrics = train_epoch(

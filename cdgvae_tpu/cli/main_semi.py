@@ -14,9 +14,7 @@ import optax
 from ..data.pendulum import PendulumDataset
 from ..factory import build_pendulum_model
 from ..train.steps import make_semi_step
-from ..train.loop import (train_epoch_semi, format_epoch,
-                          run_scanned_chunks)
-from ..train.scanned import make_scanned_epochs_semi
+from ..train.loop import train_epoch_semi, format_epoch
 from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
@@ -105,33 +103,19 @@ def main(argv=None):
                 drop_remainder=mesh is not None)
             on_epoch(epoch, metrics)
     else:
+        # scanned two-stream trainer; --dp shards both streams over dp
+        # with per-shard labeled cycling, one gradient pmean per step
+        from ..train.steps import make_semi_loss_fn
+        from .common import run_scanned_training_semi
         raw = make_semi_step(model, optimizer, config["beta"],
                              config["lambda"], jit=False)
-        bs = min(config["batch_size"], len(x_u))
-        bs_l = min(config["batch_sizeL"], len(x_l))
-        if mesh is not None:
-            # multi-chip: both streams sharded over dp, per-shard labeled
-            # cycling, one gradient pmean per step over ICI (the setup
-            # clamps the batch sizes against the trimmed streams)
-            from ..train.steps import make_semi_loss_fn
-            from .common import sharded_scan_setup_semi
-            xu, xl, yl, make_runner = sharded_scan_setup_semi(
-                mesh, x_u, x_l, y_l,
-                make_semi_loss_fn(model, config["beta"], config["lambda"]),
-                optimizer, config["batch_size"], config["batch_sizeL"])
-            batch_args = (xu, xl, yl)
-        else:
-            batch_args = (x_u, x_l, y_l)
-
-            def make_runner(n):
-                return make_scanned_epochs_semi(raw, bs, bs_l,
-                                                n_epochs_per_call=n)
-        state = run_scanned_chunks(
-            raw, state, batch_args[0], batch_args[2], k_train,
-            epochs=config["epochs"], start_epoch=start_epoch,
-            batch_size=bs, chunk=10,
-            on_epoch=on_epoch, batch_args=batch_args,
-            make_runner=make_runner)
+        state = run_scanned_training_semi(
+            config, raw_step=raw, state=state, data=[x_u, x_l, y_l],
+            k_train=k_train, mesh=mesh,
+            make_loss=lambda: make_semi_loss_fn(
+                model, config["beta"], config["lambda"]),
+            optimizer=optimizer, chunk=10, start_epoch=start_epoch,
+            on_epoch=on_epoch)
 
     viz = jax.jit(lambda p, x, r: model(p, x, rng=r).xhat)
     xhat = viz(state[0], x_u[:9], jax.random.fold_in(k_train, 2**31))

@@ -13,7 +13,7 @@ from ..data.tabular.datasets import load_tabular, DATASET_SPECS
 from ..factory import build_tabular_model
 from ..train.tabular_steps import (make_tabular_step,
                                    make_tabular_infomax_step, make_recon_fn)
-from ..train.loop import train_epoch, format_epoch, run_scanned_chunks
+from ..train.loop import train_epoch, format_epoch
 from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
@@ -106,49 +106,36 @@ def main(argv=None):
         logger.log(metrics, step=epoch)
 
     if config["model"] != "InfoMax" and not config["eager"]:
+        # scanned trainer; --dp swaps in the shard_map trainer with the
+        # tabular dataset-specific loss
+        from ..train.tabular_steps import make_tabular_loss_fn
+        from .common import run_scanned_training
         raw = make_tabular_step(model, optimizer, config["beta"],
                                 config["lambda"], recon_fn, jit=False)
-        make_runner = None
-        xd, yd = x_data, y_data
-        if mesh is not None:
-            # multi-chip: shard_map scanned trainer with the tabular
-            # dataset-specific loss
-            from ..train.tabular_steps import make_tabular_loss_fn
-            from .common import sharded_scan_setup
-            xd, yd, make_runner = sharded_scan_setup(
-                mesh, x_data, y_data,
-                make_tabular_loss_fn(model, config["beta"],
-                                     config["lambda"], recon_fn),
-                optimizer, config["batch_size"])
-        state = run_scanned_chunks(
-            raw, state, xd, yd, k_train,
-            epochs=config["epochs"], start_epoch=start_epoch,
-            batch_size=config["batch_size"],
-            chunk=25, on_epoch=on_epoch, make_runner=make_runner)
+        state = run_scanned_training(
+            config, raw_step=raw, state=state, data=[x_data, y_data],
+            k_train=k_train, mesh=mesh,
+            make_loss=lambda: make_tabular_loss_fn(
+                model, config["beta"], config["lambda"], recon_fn),
+            optimizer=optimizer, chunk=25, start_epoch=start_epoch,
+            on_epoch=on_epoch)
     elif config["model"] == "InfoMax" and not config["eager"]:
         # InfoMax scanned (pair states), single-device or mesh
         from ..train.steps import pair_infomax_step, pair_infomax_optimizer
         from ..train.tabular_steps import make_tabular_infomax_loss_fn
-        from ..train.loop import run_scanned_chunks_pair
+        from .common import run_scanned_training
         raw = pair_infomax_step(make_tabular_infomax_step(
             model, discriminator, optimizer, optimizer_d, config["beta"],
             config["lambda"], config["gamma"], recon_fn, jit=False))
-        make_runner = None
-        xd, yd = x_data, y_data
-        if mesh is not None:
-            from .common import sharded_scan_setup
-            xd, yd, make_runner = sharded_scan_setup(
-                mesh, x_data, y_data,
-                make_tabular_infomax_loss_fn(
-                    model, discriminator, config["beta"], config["lambda"],
-                    config["gamma"], recon_fn, marginal="roll"),
-                pair_infomax_optimizer(optimizer, optimizer_d),
-                config["batch_size"])
-        state = run_scanned_chunks_pair(
-            raw, state, xd, yd, k_train,
-            epochs=config["epochs"], start_epoch=start_epoch,
-            batch_size=config["batch_size"],
-            chunk=25, on_epoch=on_epoch, make_runner=make_runner)
+        state = run_scanned_training(
+            config, raw_step=raw, state=state, data=[x_data, y_data],
+            k_train=k_train, mesh=mesh,
+            make_loss=lambda: make_tabular_infomax_loss_fn(
+                model, discriminator, config["beta"], config["lambda"],
+                config["gamma"], recon_fn, marginal="roll"),
+            optimizer=pair_infomax_optimizer(optimizer, optimizer_d),
+            chunk=25, start_epoch=start_epoch, on_epoch=on_epoch,
+            pair=True)
     else:
         for epoch in range(start_epoch, config["epochs"]):
             state, metrics = train_epoch(

@@ -13,7 +13,7 @@ import optax
 from ..data.tabular.datasets import load_tabular_tvae, DATASET_SPECS
 from ..factory import build_tabular_model, tvae_block_mask
 from ..train.tabular_steps import make_tvae_step
-from ..train.loop import train_epoch, format_epoch, run_scanned_chunks
+from ..train.loop import train_epoch, format_epoch
 from ..utils.simulation import set_random_seed
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging import MetricLogger
@@ -103,30 +103,24 @@ def main(argv=None):
         logger.log(metrics, step=epoch)
 
     if not config["eager"]:
+        # scanned trainer; --dp swaps in the shard_map trainer with the
+        # span-walking TVAE loss and the post-update sigma clamp
+        from ..train.tabular_steps import (make_tvae_loss_fn,
+                                           make_sigma_clamp)
+        from .common import run_scanned_training
         raw = make_tvae_step(model, optimizer, config["lambda"],
                              data.transformer.output_info_list,
                              sigma_range=tuple(config["sigma_range"]),
                              jit=False)
-        make_runner = None
-        xd, yd = x_data, y_data
-        if mesh is not None:
-            # multi-chip: shard_map scanned trainer with the span-walking
-            # TVAE loss and the post-update sigma clamp
-            from ..train.tabular_steps import (make_tvae_loss_fn,
-                                               make_sigma_clamp)
-            from .common import sharded_scan_setup
-            xd, yd, make_runner = sharded_scan_setup(
-                mesh, x_data, y_data,
-                make_tvae_loss_fn(model, config["lambda"],
-                                  data.transformer.output_info_list),
-                optimizer, config["batch_size"],
-                post_update=make_sigma_clamp(
-                    tuple(config["sigma_range"])))
-        state = run_scanned_chunks(
-            raw, state, xd, yd, k_train,
-            epochs=config["epochs"], start_epoch=start_epoch,
-            batch_size=config["batch_size"],
-            chunk=25, on_epoch=on_epoch, make_runner=make_runner)
+        state = run_scanned_training(
+            config, raw_step=raw, state=state, data=[x_data, y_data],
+            k_train=k_train, mesh=mesh,
+            make_loss=lambda: make_tvae_loss_fn(
+                model, config["lambda"],
+                data.transformer.output_info_list),
+            optimizer=optimizer, chunk=25, start_epoch=start_epoch,
+            on_epoch=on_epoch,
+            post_update=make_sigma_clamp(tuple(config["sigma_range"])))
     else:
         for epoch in range(start_epoch, config["epochs"]):
             state, metrics = train_epoch(

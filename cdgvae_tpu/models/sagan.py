@@ -308,3 +308,90 @@ class Discriminator:
                 x = self_attn(params["attn"], x)
         feat = x.sum(axis=(1, 2))
         return snlinear(params["fc"], feat)
+
+
+def _sn_res_mlp_block_init(key, channels, dtype=jnp.float32) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {"fc1": snlinear_init(k1, channels, channels, dtype),
+            "fc2": snlinear_init(k2, channels, channels, dtype)}
+
+
+def _sn_res_mlp_block(p: Params, x: jax.Array) -> jax.Array:
+    """Spectral-norm residual MLP block (reference sagan.py:345-360):
+    relu(fc2(relu(fc1(x))) + x)."""
+    out = snlinear(p["fc2"], jax.nn.relu(snlinear(p["fc1"], x)))
+    return jax.nn.relu(out + x)
+
+
+class DiscriminatorMLP:
+    """Spectral-norm residual MLP discriminator (reference
+    sagan.py:362-395 ``Discriminator_MLP``; training-unused there too,
+    shipped for inventory completeness). ``out_feature=True`` returns
+    (logit, penultimate features) like the reference."""
+
+    def __init__(self, in_channels: int, out_channels: int,
+                 out_feature: bool = True, num_block: int = 3,
+                 dtype=jnp.float32):
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.out_feature = out_feature
+        self.num_block = num_block
+        self.dtype = dtype
+
+    def init(self, key) -> Params:
+        ks = jax.random.split(key, self.num_block + 2)
+        p = {"fc1": snlinear_init(ks[0], self.in_channels,
+                                  self.out_channels, self.dtype)}
+        for i in range(self.num_block):
+            p[f"block{i + 1}"] = _sn_res_mlp_block_init(
+                ks[i + 1], self.out_channels, self.dtype)
+        p["fc4"] = snlinear_init(ks[-1], self.out_channels, 1, self.dtype)
+        return p
+
+    def __call__(self, params: Params, z: jax.Array):
+        f = jax.nn.relu(snlinear(params["fc1"], z))
+        for i in range(self.num_block):
+            f = _sn_res_mlp_block(params[f"block{i + 1}"], f)
+        out = snlinear(params["fc4"], f)
+        if self.out_feature:
+            return out, f
+        return out
+
+
+class DCDiscriminator:
+    """DCGAN-style discriminator (reference sagan.py:398-414): three plain
+    5x5/stride-2 convs + LeakyReLU, flatten, linear -> logit. NHWC here.
+
+    Deviation: the reference hardcodes the fc input as conv_dim*4*4*4,
+    which only matches image_size=32 (its default 64 would crash at
+    runtime — dead code); the fc here is sized from the actual
+    post-conv spatial dims so every image_size divisible by 8 works."""
+
+    def __init__(self, conv_dim: int = 64, image_size: int = 64,
+                 image_channel: int = 3, dtype=jnp.float32):
+        if image_size % 8 != 0:
+            raise ValueError("image_size must be divisible by 8")
+        self.conv_dim = conv_dim
+        self.image_size = image_size
+        self.image_channel = image_channel
+        self.dtype = dtype
+        self.chans = [image_channel, conv_dim, conv_dim * 2, conv_dim * 4]
+
+    def init(self, key) -> Params:
+        from ..nn import conv_init, dense_init
+        ks = jax.random.split(key, 4)
+        p = {}
+        for i in range(3):
+            p[f"conv{i}"] = conv_init(ks[i], self.chans[i],
+                                      self.chans[i + 1], 5, dtype=self.dtype)
+        feat = self.conv_dim * 4 * (self.image_size // 8) ** 2
+        p["fc"] = dense_init(ks[3], feat, 1, dtype=self.dtype)
+        return p
+
+    def __call__(self, params: Params, x: jax.Array) -> jax.Array:
+        from ..nn import conv2d, dense
+        for i in range(3):
+            # torch LeakyReLU default slope 0.01
+            x = jax.nn.leaky_relu(conv2d(params[f"conv{i}"], x, stride=2),
+                                  0.01)
+        return dense(params["fc"], x.reshape(x.shape[0], -1))

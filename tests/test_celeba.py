@@ -45,6 +45,30 @@ def test_generator_output():
     assert x.min() >= -1.0 and x.max() <= 1.0
 
 
+def test_discriminator_mlp_variant():
+    # reference sagan.py:362-395: residual SN-MLP; out_feature returns
+    # (logit, penultimate features)
+    d = sagan.DiscriminatorMLP(in_channels=6, out_channels=16, num_block=3)
+    p = d.init(jax.random.key(0))
+    z = jax.random.normal(jax.random.key(1), (4, 6))
+    out, f = d(p, z)
+    assert out.shape == (4, 1) and f.shape == (4, 16)
+    d2 = sagan.DiscriminatorMLP(6, 16, out_feature=False, num_block=1)
+    p2 = d2.init(jax.random.key(0))
+    assert d2(p2, z).shape == (4, 1)
+    assert "block2" not in p2  # num_block respected (reference :371-374)
+
+
+def test_dc_discriminator_variant():
+    # reference sagan.py:398-414; fc sized from real post-conv dims (the
+    # reference's hardcoded 4*4 only matches image_size=32)
+    for size in (32, 64):
+        d = sagan.DCDiscriminator(conv_dim=8, image_size=size)
+        p = d.init(jax.random.key(0))
+        x = jax.random.normal(jax.random.key(1), (2, size, size, 3))
+        assert d(p, x).shape == (2, 1)
+
+
 def test_resnet_encoder_freeze_trunk():
     enc = ResNetEncoder(out_dim=24, freeze_trunk=True)
     p = enc.init(jax.random.key(0))
