@@ -51,7 +51,8 @@ def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
-def run_seed(seed: int):
+def run_seed(seed: int, scm: str):
+    CONFIG["scm"] = scm
     ds = PendulumDataset(image_size=64, train=True, seed=seed)
     x = jax.device_put(ds.x_data)
     y = jax.device_put(ds.y_data)
@@ -101,14 +102,19 @@ def run_seed(seed: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=5)
-    ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "docs", "results", "cdm_seeds.json"))
+    ap.add_argument("--scm", default="linear",
+                    choices=["linear", "nonlinear"])
+    ap.add_argument("--out", default="")
     args = ap.parse_args()
+    if not args.out:
+        suffix = "" if args.scm == "linear" else f"_{args.scm}"
+        args.out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "docs", "results", f"cdm_seeds{suffix}.json")
 
     lowers, uppers = [], []
     for seed in range(1, args.seeds + 1):
-        lo, up = run_seed(seed)
+        lo, up = run_seed(seed, args.scm)
         lowers.append(lo)
         uppers.append(up)
 
@@ -118,6 +124,7 @@ def main():
     summary = {
         "protocol": "reference main.py:93-107 (100 epochs, batch 128, "
                     "lr 1e-3, beta 0.1, lambda 5), one run per seed",
+        "scm": args.scm,
         "seeds": list(range(1, args.seeds + 1)),
         "lower": lowers.tolist(),
         "upper": uppers.tolist(),
