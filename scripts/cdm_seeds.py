@@ -51,7 +51,7 @@ def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
-def run_seed(seed: int, scm: str):
+def run_seed(seed: int, scm: str, semi: bool):
     CONFIG["scm"] = scm
     ds = PendulumDataset(image_size=64, train=True, seed=seed)
     x = jax.device_put(ds.x_data)
@@ -60,12 +60,28 @@ def run_seed(seed: int, scm: str):
     model, _ = build_pendulum_model(CONFIG)
     params = model.init(jax.random.key(seed))
     opt = optax.adam(CONFIG["lr"])
-    step = unjitted_step(model, opt, CONFIG["beta"], CONFIG["lambda"])
-    run = make_scanned_epochs(step, batch_size=CONFIG["batch_size"],
-                              n_epochs_per_call=CONFIG["epochs"])
     t0 = time.time()
-    params, _, m = run(params, opt.init(params), x, y,
-                       jax.random.key(seed + 1000), 0)
+    if semi:
+        # reference main_semi.py protocol: ELBO on the unlabeled stream,
+        # alignment on a labeled_ratio=0.1 stream at batch_sizeL=32
+        from cdgvae_tpu.train.steps import make_semi_step
+        from cdgvae_tpu.train.scanned import make_scanned_epochs_semi
+        lab = PendulumDataset(image_size=64, train=True, seed=seed,
+                              labeled_ratio=0.1)
+        x_l = jax.device_put(lab.x_data)
+        y_l = jax.device_put(lab.y_data)
+        step = make_semi_step(model, opt, CONFIG["beta"], CONFIG["lambda"],
+                              jit=False)
+        run = make_scanned_epochs_semi(step, CONFIG["batch_size"], 32,
+                                       n_epochs_per_call=CONFIG["epochs"])
+        params, _, m = run(params, opt.init(params), x, x_l, y_l,
+                           jax.random.key(seed + 1000), 0)
+    else:
+        step = unjitted_step(model, opt, CONFIG["beta"], CONFIG["lambda"])
+        run = make_scanned_epochs(step, batch_size=CONFIG["batch_size"],
+                                  n_epochs_per_call=CONFIG["epochs"])
+        params, _, m = run(params, opt.init(params), x, y,
+                           jax.random.key(seed + 1000), 0)
     jax.block_until_ready(m["loss"])
     loss_tail = float(np.asarray(m["loss"])[-1])
     t_train = time.time() - t0
@@ -104,17 +120,22 @@ def main():
     ap.add_argument("--seeds", type=int, default=5)
     ap.add_argument("--scm", default="linear",
                     choices=["linear", "nonlinear"])
+    ap.add_argument("--semi", action="store_true",
+                    help="semi-supervised protocol (reference main_semi.py:"
+                         " labeled_ratio 0.1, batch_sizeL 32)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
     if not args.out:
         suffix = "" if args.scm == "linear" else f"_{args.scm}"
+        if args.semi:
+            suffix += "_semi"
         args.out = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "docs", "results", f"cdm_seeds{suffix}.json")
 
     lowers, uppers = [], []
     for seed in range(1, args.seeds + 1):
-        lo, up = run_seed(seed, args.scm)
+        lo, up = run_seed(seed, args.scm, args.semi)
         lowers.append(lo)
         uppers.append(up)
 
@@ -125,6 +146,7 @@ def main():
         "protocol": "reference main.py:93-107 (100 epochs, batch 128, "
                     "lr 1e-3, beta 0.1, lambda 5), one run per seed",
         "scm": args.scm,
+        "semi": args.semi,
         "seeds": list(range(1, args.seeds + 1)),
         "lower": lowers.tolist(),
         "upper": uppers.tolist(),

@@ -32,19 +32,20 @@ from cdgvae_tpu.eval.downstream import (robustness,  # noqa: E402
                                         extract_representations)
 
 
-def run_config(beta, lam, x, y, x_te, y_te, ds_tr, ds_te, epochs=100):
+def run_config(beta, lam, x, y, x_te, y_te, ds_tr, ds_te, epochs=100,
+               seed=1):
     config = dict(model="CDGVAE", node=5, scm="linear", flow_num=1,
                   inverse_loop=100, factor=[1, 1, 2], image_size=64,
                   adjacency_scaling=True)
     model, _ = build_pendulum_model(config, spurious=True)
-    params = model.init(jax.random.key(1))
+    params = model.init(jax.random.key(seed))
     opt = optax.adam(1e-3)
     step = unjitted_step(model, opt, beta, lam)
     run = make_scanned_epochs(step, batch_size=128,
                               n_epochs_per_call=epochs)
     t0 = time.time()
-    params, _, ms = run(params, opt.init(params), x, y, jax.random.key(2),
-                        0)
+    params, _, ms = run(params, opt.init(params), x, y,
+                        jax.random.key(seed + 1000), 0)
     dt = time.time() - t0
     res = robustness(model, params, ds_tr.x_data, ds_tr.y_data,
                      ds_te.x_data, ds_te.y_data, seed=0, repeats=10)
@@ -53,7 +54,7 @@ def run_config(beta, lam, x, y, x_te, y_te, ds_tr, ds_te, epochs=100):
     bg = np.asarray(ds_te.y_data)[:, -2]
     leaks = [round(abs(float(np.corrcoef(reps[:, j], bg)[0, 1])), 2)
              for j in range(reps.shape[1])]
-    return {"beta": beta, "lambda": lam, "epochs": epochs,
+    return {"beta": beta, "lambda": lam, "epochs": epochs, "seed": seed,
             "train_s": round(dt, 1),
             "final_loss": round(float(np.asarray(ms["loss"])[-1]), 1),
             "avg_accuracy": round(res["avg_accuracy"], 4),
@@ -64,23 +65,34 @@ def run_config(beta, lam, x, y, x_te, y_te, ds_tr, ds_te, epochs=100):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="docs/results/dr_sweep.json")
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="repeat every config for seeds 1..N (model init, "
+                         "train RNG and dataset draw all vary per seed)")
+    ap.add_argument("--lams", type=float, nargs="*", default=None,
+                    help="restrict the sweep to these lambda values "
+                         "(beta fixed 0.1); default: the full 6-config "
+                         "beta/lambda grid")
     args = ap.parse_args()
 
-    ds_tr = PendulumDRDataset(image_size=64, train=True, seed=1,
-                              downstream=True)
-    ds_te = PendulumDRDataset(image_size=64, train=False, seed=1,
-                              downstream=True)
-    # training labels: normalized (downstream=False)
-    ds_align = PendulumDRDataset(image_size=64, train=True, seed=1)
-    x = jax.device_put(ds_align.x_data)
-    y = jax.device_put(ds_align.y_data)
+    grid = ([(0.1, lam) for lam in args.lams] if args.lams else
+            [(0.1, 20.0), (0.1, 40.0), (0.1, 80.0),
+             (0.01, 20.0), (0.01, 80.0), (0.5, 20.0)])
 
     results = []
-    for beta, lam in [(0.1, 20.0), (0.1, 40.0), (0.1, 80.0),
-                      (0.01, 20.0), (0.01, 80.0), (0.5, 20.0)]:
-        r = run_config(beta, lam, x, y, None, None, ds_tr, ds_te)
-        print(json.dumps(r), flush=True)
-        results.append(r)
+    for seed in range(1, args.seeds + 1):
+        ds_tr = PendulumDRDataset(image_size=64, train=True, seed=seed,
+                                  downstream=True)
+        ds_te = PendulumDRDataset(image_size=64, train=False, seed=seed,
+                                  downstream=True)
+        # training labels: normalized (downstream=False)
+        ds_align = PendulumDRDataset(image_size=64, train=True, seed=seed)
+        x = jax.device_put(ds_align.x_data)
+        y = jax.device_put(ds_align.y_data)
+        for beta, lam in grid:
+            r = run_config(beta, lam, x, y, None, None, ds_tr, ds_te,
+                           seed=seed)
+            print(json.dumps(r), flush=True)
+            results.append(r)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
