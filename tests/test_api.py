@@ -93,6 +93,44 @@ def test_loaded_model_celeba(tmp_path):
     assert m.reconstruct(x3).shape == (3, 32, 32, 3)
 
 
+def test_celeba_do_leakage_outside_masks_is_zero(tmp_path):
+    """End-to-end structural invariant through the serving do-operator:
+    do(z_j) may only change pixels inside the segmentation masks of the
+    decoder blocks whose parent group contains j or a causal descendant
+    of j — every other pixel is bit-unchanged (the masked-GAM sum; the
+    celeba analog of the pendulum CDM structural zeros,
+    scripts/celeba_study.py measures the trained version)."""
+    from cdgvae_tpu.models.celeba import (CelebACDGVAE, celeba_B,
+                                          SMILE_NODES, BLOCK_GROUPS)
+    from cdgvae_tpu.ops.causal import CausalGraph
+
+    cfg = dict(model="CDGVAE", causal_structure=0, node=6, latent_dim=6,
+               scm="linear", flow_num=1, inverse_loop=100,
+               adjacency_scaling=True, img_size=32, conv_dim=4)
+    B = celeba_B(SMILE_NODES, 0, True)
+    graph = CausalGraph(B, scm="linear", flow_num=1, inverse_loop=100)
+    model = CelebACDGVAE(graph, latent_dim=6, image_size=32, conv_dim=4)
+    params = model.init(jax.random.key(1))
+    ckpt = str(tmp_path / "celeba_ck")
+    save_checkpoint(ckpt, params, config=cfg)
+    m = LoadedModel.load(ckpt)
+
+    # disjoint binary part masks in channels 3..7
+    x = np.random.default_rng(1).uniform(
+        size=(1, 32, 32, 8)).astype(np.float32)
+    x[..., 3:] = 0.0
+    for b in range(5):
+        x[:, 6 * b: 6 * b + 5, :, 3 + b] = 1.0
+
+    # node 5 (Narrow_Eyes) is a sink: only block 3 ([0, 1, 5]) sees it
+    a = m.counterfactual(x, do_index=5, value=-1.5)
+    b_ = m.counterfactual(x, do_index=5, value=1.5)
+    diff = np.abs(a - b_)[0].max(axis=-1)
+    allowed = x[0, :, :, 3 + 3] > 0
+    assert diff[allowed].max() > 0  # the intervention does something
+    assert diff[~allowed].max() == 0.0
+
+
 def test_loaded_model_mesh_serving(tmp_path):
     """mesh= shards serving batches over the dp axis; outputs match the
     single-device paths (all per-sample ops, no collectives)."""
