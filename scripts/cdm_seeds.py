@@ -51,17 +51,36 @@ def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
-def run_seed(seed: int, scm: str, semi: bool):
+def run_seed(seed: int, scm: str, semi: bool, model_name: str = "CDGVAE",
+             gamma: float = 1.0):
     CONFIG["scm"] = scm
+    CONFIG["model"] = model_name
     ds = PendulumDataset(image_size=64, train=True, seed=seed)
     x = jax.device_put(ds.x_data)
     y = jax.device_put(ds.y_data)
 
-    model, _ = build_pendulum_model(CONFIG)
+    model, disc = build_pendulum_model(CONFIG)
     params = model.init(jax.random.key(seed))
     opt = optax.adam(CONFIG["lr"])
     t0 = time.time()
-    if semi:
+    if model_name == "InfoMax":
+        # reference train_InfoMax: joint (gamma+1)*MI double-backward via
+        # the fused (model, discriminator) pair (cli.main defaults:
+        # lr_D 1e-4, gamma 1 — reference main.py:96,103)
+        from cdgvae_tpu.train.steps import (make_infomax_step,
+                                            pair_infomax_step)
+        opt_d = optax.adam(1e-4)
+        raw = pair_infomax_step(make_infomax_step(
+            model, disc, opt, opt_d, CONFIG["beta"], CONFIG["lambda"],
+            gamma, jit=False))
+        run = make_scanned_epochs(raw, batch_size=CONFIG["batch_size"],
+                                  n_epochs_per_call=CONFIG["epochs"])
+        d_params = disc.init(jax.random.key(seed + 500))
+        pair, _, m = run((params, d_params),
+                         (opt.init(params), opt_d.init(d_params)),
+                         x, y, jax.random.key(seed + 1000), 0)
+        params = pair[0]
+    elif semi:
         # reference main_semi.py protocol: ELBO on the unlabeled stream,
         # alignment on a labeled_ratio=0.1 stream at batch_sizeL=32
         from cdgvae_tpu.train.steps import make_semi_step
@@ -123,10 +142,18 @@ def main():
     ap.add_argument("--semi", action="store_true",
                     help="semi-supervised protocol (reference main_semi.py:"
                          " labeled_ratio 0.1, batch_sizeL 32)")
+    ap.add_argument("--model", default="CDGVAE",
+                    choices=["CDGVAE", "VAE", "InfoMax"],
+                    help="baseline rows of appendix Tables 10-11")
+    ap.add_argument("--gamma", type=float, default=1.0,
+                    help="InfoMax MI weight (reference main.py:103)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
+    if args.semi and args.model != "CDGVAE":
+        ap.error("the reference's semi-supervised protocol is CDGVAE-only")
     if not args.out:
-        suffix = "" if args.scm == "linear" else f"_{args.scm}"
+        suffix = "" if args.model == "CDGVAE" else f"_{args.model.lower()}"
+        suffix += "" if args.scm == "linear" else f"_{args.scm}"
         if args.semi:
             suffix += "_semi"
         args.out = os.path.join(
@@ -135,7 +162,8 @@ def main():
 
     lowers, uppers = [], []
     for seed in range(1, args.seeds + 1):
-        lo, up = run_seed(seed, args.scm, args.semi)
+        lo, up = run_seed(seed, args.scm, args.semi, args.model,
+                          args.gamma)
         lowers.append(lo)
         uppers.append(up)
 
@@ -147,6 +175,9 @@ def main():
                     "lr 1e-3, beta 0.1, lambda 5), one run per seed",
         "scm": args.scm,
         "semi": args.semi,
+        "model": args.model,
+        "protected_mean": np.abs(prot).mean(0).round(4).tolist(),
+        "protected_std": np.abs(prot).std(0).round(4).tolist(),
         "seeds": list(range(1, args.seeds + 1)),
         "lower": lowers.tolist(),
         "upper": uppers.tolist(),
