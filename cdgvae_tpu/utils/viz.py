@@ -33,8 +33,10 @@ def viz_do_grid(images: np.ndarray, path: str, row_names=None):
     (reference inference.py:298-334)."""
     plt = _plt()
     node, k = images.shape[:2]
-    # squeeze=False: ax is always 2-D, also for 1-row/1-column grids
-    fig, ax = plt.subplots(node, k, figsize=(k, node * 0.6 + 1),
+    # squeeze=False: ax is always 2-D, also for 1-row/1-column grids.
+    # ~1.3in per cell: constant-per-cell sizing keeps large grids (e.g.
+    # celeba 6x7 at 128px) readable instead of shrinking rows
+    fig, ax = plt.subplots(node, k, figsize=(k * 1.3, node * 1.3 + 0.3),
                            squeeze=False)
     for i in range(node):
         for j in range(k):

@@ -33,8 +33,8 @@ from cdgvae_tpu.eval.downstream import (robustness,  # noqa: E402
 
 
 def run_config(beta, lam, x, y, x_te, y_te, ds_tr, ds_te, epochs=100,
-               seed=1):
-    config = dict(model="CDGVAE", node=5, scm="linear", flow_num=1,
+               seed=1, scm="linear"):
+    config = dict(model="CDGVAE", node=5, scm=scm, flow_num=1,
                   inverse_loop=100, factor=[1, 1, 2], image_size=64,
                   adjacency_scaling=True)
     model, _ = build_pendulum_model(config, spurious=True)
@@ -55,6 +55,7 @@ def run_config(beta, lam, x, y, x_te, y_te, ds_tr, ds_te, epochs=100,
     leaks = [round(abs(float(np.corrcoef(reps[:, j], bg)[0, 1])), 2)
              for j in range(reps.shape[1])]
     return {"beta": beta, "lambda": lam, "epochs": epochs, "seed": seed,
+            "scm": scm,
             "train_s": round(dt, 1),
             "final_loss": round(float(np.asarray(ms["loss"])[-1]), 1),
             "avg_accuracy": round(res["avg_accuracy"], 4),
@@ -72,6 +73,8 @@ def main():
                     help="restrict the sweep to these lambda values "
                          "(beta fixed 0.1); default: the full 6-config "
                          "beta/lambda grid")
+    ap.add_argument("--scm", default="linear",
+                    choices=["linear", "nonlinear"])
     args = ap.parse_args()
 
     grid = ([(0.1, lam) for lam in args.lams] if args.lams else
@@ -90,7 +93,7 @@ def main():
         y = jax.device_put(ds_align.y_data)
         for beta, lam in grid:
             r = run_config(beta, lam, x, y, None, None, ds_tr, ds_te,
-                           seed=seed)
+                           seed=seed, scm=args.scm)
             print(json.dumps(r), flush=True)
             results.append(r)
 
