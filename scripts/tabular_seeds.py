@@ -1,0 +1,145 @@
+"""Multi-seed tabular study: SHD and ML-efficacy stability over training
+stochasticity (model init + train RNG + sampling RNG per seed; the data
+itself is the fixed-seed corpus, matching the reference's fixed
+``sample(random_state=...)`` dataset determinism).
+
+Per seed and dataset: train CDG-VAE at the reference tabular protocol
+(200 epochs, batch 256, lr 0.01, beta=0.01, lambda=10 —
+tabular/main.py:86-101), then the reference inference protocol
+(tabular/inference.py): PC CPDAG on real data vs deterministic
+reconstructions vs z~N(0,1) synthetic samples, custom CPDAG SHD, and
+train-on-synthetic/test-on-real ML efficacy.
+
+Writes docs/results/tabular_seeds.json.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from cdgvae_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
+
+import jax  # noqa: E402
+import optax  # noqa: E402
+
+from cdgvae_tpu.data.tabular.datasets import (load_tabular,  # noqa: E402
+                                              DATASET_SPECS)
+from cdgvae_tpu.factory import build_tabular_model  # noqa: E402
+from cdgvae_tpu.train.tabular_steps import (make_tabular_step,  # noqa: E402
+                                            make_recon_fn)
+from cdgvae_tpu.train.scanned import make_scanned_epochs  # noqa: E402
+from cdgvae_tpu.eval.tabular_inference import (  # noqa: E402
+    reconstruct_dataset, sample_synthetic, to_frame)
+from cdgvae_tpu.eval.ml_efficacy import (regression_eval,  # noqa: E402
+                                         classification_eval)
+from cdgvae_tpu.utils.pc import pc, cpdag_shd  # noqa: E402
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def run_seed(dataset: str, seed: int, epochs: int, train, test, G_real):
+    spec = DATASET_SPECS[dataset]
+    config = dict(model="CDGVAE", dataset=dataset, scm="linear",
+                  flow_num=1, inverse_loop=100, adjacency_scaling=True,
+                  node=spec["node"], factor=list(spec["factor"]),
+                  input_dim=spec["input_dim"], seed=seed)
+    model, _ = build_tabular_model(config)
+    params = model.init(jax.random.key(seed))
+    opt = optax.adam(0.01)
+    raw = make_tabular_step(model, opt, beta=0.01, lam=10.0,
+                            recon_fn=make_recon_fn(
+                                dataset, train.flatten_topology),
+                            jit=False)
+    run = make_scanned_epochs(raw, batch_size=256,
+                              n_epochs_per_call=epochs)
+    x = jax.device_put(train.x_data)
+    y = jax.device_put(train.label)
+    t0 = time.time()
+    params, _, ms = run(params, opt.init(params), x, y,
+                        jax.random.key(seed + 100), 0)
+    jax.block_until_ready(ms["loss"])
+    t_train = time.time() - t0
+    m = {k: float(np.asarray(v)[-1]) for k, v in ms.items()}
+
+    recon = reconstruct_dataset(model, params, x, dataset, seed=seed)
+    G_recon, _ = pc(to_frame(recon, train.topology,
+                             train.continuous).to_numpy(), alpha=0.05)
+    sample = sample_synthetic(model, params, len(train.x_data), dataset,
+                              seed=seed)
+    sample_df = to_frame(sample, train.topology, train.continuous)
+    G_sample, _ = pc(sample_df.to_numpy(), alpha=0.05)
+
+    target = spec["target"]
+    ev = (regression_eval if spec["task"] == "regression"
+          else classification_eval)
+    synth = float(np.mean([v for _, v in
+                           ev(sample_df, test.frame, target)]))
+    out = {"seed": seed, "train_s": round(t_train, 1),
+           "final_loss": round(float(m["loss"]), 2),
+           "shd_train": int(cpdag_shd(G_real, G_recon)),
+           "shd_sample": int(cpdag_shd(G_real, G_sample)),
+           "efficacy_synthetic": round(synth, 4)}
+    log(f"{dataset} seed {seed}: {out}")
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=5)
+    ap.add_argument("--datasets", nargs="*", default=["loan", "adult"])
+    ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+    if not args.out:
+        args.out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "docs", "results", "tabular_seeds.json")
+
+    all_results = {}
+    for ds in args.datasets:
+        spec = DATASET_SPECS[ds]
+        train = load_tabular(ds, train=True)
+        test = load_tabular(ds, train=False)
+        G_real, _ = pc(train.frame.to_numpy(), alpha=0.05)
+        ev = (regression_eval if spec["task"] == "regression"
+              else classification_eval)
+        baseline = float(np.mean([v for _, v in
+                                  ev(train.frame, test.frame,
+                                     spec["target"])]))
+        rows = [run_seed(ds, s, args.epochs, train, test, G_real)
+                for s in range(1, args.seeds + 1)]
+        all_results[ds] = {
+            "task": spec["task"],
+            "efficacy_baseline": round(baseline, 4),
+            "per_seed": rows,
+            "shd_sample_mean": round(float(np.mean(
+                [r["shd_sample"] for r in rows])), 2),
+            "shd_sample_std": round(float(np.std(
+                [r["shd_sample"] for r in rows])), 2),
+            "efficacy_synthetic_mean": round(float(np.mean(
+                [r["efficacy_synthetic"] for r in rows])), 4),
+            "efficacy_synthetic_std": round(float(np.std(
+                [r["efficacy_synthetic"] for r in rows])), 4),
+        }
+        log(f"{ds}: SHD(sample) {all_results[ds]['shd_sample_mean']} "
+            f"+/- {all_results[ds]['shd_sample_std']}, efficacy "
+            f"{all_results[ds]['efficacy_synthetic_mean']} +/- "
+            f"{all_results[ds]['efficacy_synthetic_std']} "
+            f"(baseline {baseline:.4f})")
+
+    with open(args.out, "w") as f:
+        json.dump(all_results, f, indent=1)
+    log(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
