@@ -92,31 +92,108 @@ def run_seed(dataset: str, seed: int, epochs: int, train, test, G_real):
     return out
 
 
+def run_seed_tvae(dataset: str, seed: int, epochs: int, test, G_real,
+                  train):
+    """Reference CDG-TVAE protocol (tabular/main_tvae.py:82-97: 300
+    epochs, batch 256, lr 1e-3, lambda 5, weight_decay 1e-5 as torch-style
+    L2, sigma in [0.01, 0.1]); BGMM random_state varies with the seed so
+    the DataTransformer fit stochasticity is included."""
+    import jax.numpy as jnp  # noqa: F401
+    from cdgvae_tpu.data.tabular.datasets import load_tabular_tvae
+    from cdgvae_tpu.factory import tvae_block_mask
+    from cdgvae_tpu.train.tabular_steps import make_tvae_step
+    from cdgvae_tpu.eval.tabular_inference import sample_synthetic_tvae
+
+    spec = DATASET_SPECS[dataset]
+    data = load_tabular_tvae(dataset, random_state=seed)
+    config = dict(model="TVAE", dataset=dataset, scm="linear", flow_num=1,
+                  inverse_loop=100, adjacency_scaling=True,
+                  node=spec["node"], factor=list(spec["factor"]),
+                  input_dim=data.transformer.output_dimensions,
+                  tvae_mask=tvae_block_mask(
+                      dataset, data.transformer.output_info_list),
+                  seed=seed)
+    model, _ = build_tabular_model(config)
+    params = model.init(jax.random.key(seed))
+    opt = optax.chain(optax.add_decayed_weights(1e-5),
+                      optax.scale_by_adam(), optax.scale(-1e-3))
+    raw = make_tvae_step(model, opt, 5.0,
+                         data.transformer.output_info_list, jit=False)
+    run = make_scanned_epochs(raw, batch_size=256,
+                              n_epochs_per_call=epochs)
+    x = jax.device_put(data.x_data)
+    y = jax.device_put(data.label)
+    t0 = time.time()
+    params, _, ms = run(params, opt.init(params), x, y,
+                        jax.random.key(seed + 100), 0)
+    jax.block_until_ready(ms["loss"])
+    t_train = time.time() - t0
+
+    raw_df = sample_synthetic_tvae(model, params, data.transformer,
+                                   len(data.x_data), seed=seed)
+    # z-score the synthetic output against the train statistics
+    # (cli.tabular_inference_tvae; reference inference_tvae.py)
+    sample_df = raw_df[train.continuous].copy()
+    scaling = [c for c in train.continuous
+               if c not in spec["zscore_exclude"]]
+    mu, sd = train.frame[scaling].mean(), train.frame[scaling].std()
+    sample_df[scaling] = (sample_df[scaling] - sample_df[scaling].mean()) \
+        / sample_df[scaling].std() * sd.to_numpy() + mu.to_numpy()
+    G_sample, _ = pc(sample_df.to_numpy(), alpha=0.05)
+
+    target = spec["target"]
+    if spec["task"] == "classification" and dataset == "adult":
+        sample_df[target] = (sample_df[target] > 0.5).astype(int)
+    ev = (regression_eval if spec["task"] == "regression"
+          else classification_eval)
+    synth = float(np.mean([v for _, v in
+                           ev(sample_df, test.frame, target)]))
+    out = {"seed": seed, "train_s": round(t_train, 1),
+           "final_loss": round(float(np.asarray(ms["loss"])[-1]), 2),
+           "shd_sample": int(cpdag_shd(G_real, G_sample)),
+           "efficacy_synthetic": round(synth, 4)}
+    log(f"{dataset} TVAE seed {seed}: {out}")
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=5)
     ap.add_argument("--datasets", nargs="*", default=["loan", "adult"])
     ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--tvae", action="store_true",
+                    help="CDG-TVAE protocol instead of CDG-VAE (300-epoch "
+                         "default via --epochs)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
     if not args.out:
+        name = "tabular_seeds_tvae" if args.tvae else "tabular_seeds"
         args.out = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "docs", "results", "tabular_seeds.json")
+            "docs", "results", f"{name}.json")
 
     all_results = {}
     for ds in args.datasets:
         spec = DATASET_SPECS[ds]
         train = load_tabular(ds, train=True)
         test = load_tabular(ds, train=False)
-        G_real, _ = pc(train.frame.to_numpy(), alpha=0.05)
+        # real-data CPDAG: chisq for loan/adult under the TVAE protocol
+        # (reference inference_tvae.py:189-222), fisherz otherwise
+        i_test = ("chisq" if args.tvae and ds != "covtype" else "fisherz")
+        G_real, _ = pc(train.frame.to_numpy(), alpha=0.05,
+                       indep_test=i_test)
         ev = (regression_eval if spec["task"] == "regression"
               else classification_eval)
         baseline = float(np.mean([v for _, v in
                                   ev(train.frame, test.frame,
                                      spec["target"])]))
-        rows = [run_seed(ds, s, args.epochs, train, test, G_real)
-                for s in range(1, args.seeds + 1)]
+        if args.tvae:
+            epochs = args.epochs if args.epochs != 200 else 300
+            rows = [run_seed_tvae(ds, s, epochs, test, G_real, train)
+                    for s in range(1, args.seeds + 1)]
+        else:
+            rows = [run_seed(ds, s, args.epochs, train, test, G_real)
+                    for s in range(1, args.seeds + 1)]
         all_results[ds] = {
             "task": spec["task"],
             "efficacy_baseline": round(baseline, 4),
