@@ -12,7 +12,7 @@ import jax
 from ..data.tabular.datasets import load_tabular, DATASET_SPECS
 from ..factory import build_tabular_model
 from ..eval.tabular_inference import (reconstruct_dataset, sample_synthetic,
-                                      to_frame)
+                                      to_frame, real_cpdag)
 from ..eval.ml_efficacy import regression_eval, classification_eval
 from ..utils.pc import pc, cpdag_shd
 from ..utils.checkpoint import load_checkpoint
@@ -45,10 +45,9 @@ def main(argv=None):
     os.makedirs(args.assets_dir, exist_ok=True)
     results = {}
 
-    # PC on real train data (inference.py:184-190); reference uses chisq for
-    # loan/adult and fisherz for covtype (inference.py:111-125)
-    i_test = "fisherz" if dataset_name == "covtype" else "chisq"
-    G_real, _ = pc(train.frame.to_numpy(), alpha=0.05, indep_test=i_test)
+    # PC on real train data (inference.py:184-190) with the reference's
+    # indep-test choice (shared helper: chisq loan/adult, fisherz covtype)
+    G_real = real_cpdag(train.frame, dataset_name)
 
     # reconstructions
     recon = reconstruct_dataset(model, params, x_data, dataset_name,

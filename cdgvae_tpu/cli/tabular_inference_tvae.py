@@ -11,8 +11,8 @@ import numpy as np
 
 from ..data.tabular.datasets import load_tabular, DATASET_SPECS
 from ..factory import build_tabular_model
-from ..eval.tabular_inference import sample_synthetic_tvae
-from ..eval.ml_efficacy import regression_eval, classification_eval
+from ..eval.tabular_inference import (sample_synthetic_tvae, real_cpdag,
+                                      zscore_synthetic, efficacy)
 from ..utils.pc import pc, cpdag_shd
 from ..utils.checkpoint import load_checkpoint
 from ..utils.simulation import set_random_seed
@@ -46,37 +46,23 @@ def main(argv=None):
     os.makedirs(args.assets_dir, exist_ok=True)
     results = {}
 
-    # real data: chisq for loan/adult, fisherz for covtype
-    # (inference_tvae.py:189-222); recon/sample CPDAGs below stay fisherz
-    # like the reference (:268, :321 — the decoder emits continuous values)
-    i_test = "fisherz" if dataset_name == "covtype" else "chisq"
-    G_real, _ = pc(train.frame.to_numpy(), alpha=0.05, indep_test=i_test)
+    # real-data CPDAG with the reference's indep-test choice; recon/sample
+    # CPDAGs below stay fisherz like the reference (inference_tvae.py:268,
+    # :321 — the decoder emits continuous values). Shared protocol helpers
+    # (eval.tabular_inference) keep this in sync with the non-TVAE CLI and
+    # the multi-seed study scripts.
+    G_real = real_cpdag(train.frame, dataset_name)
 
     raw = sample_synthetic_tvae(model, params, transformer,
                                 len(train.x_data), seed=config["seed"])
-    # z-score the synthetic data like the real frames so PC / ML-efficacy
-    # operate on the same scale (the reference's CDG-TVAE eval normalizes
-    # synthetic output against the train statistics, inference_tvae.py)
-    sample_df = raw[train.continuous].copy()
-    scaling = [c for c in train.continuous
-               if c not in spec["zscore_exclude"]]
-    mu, sd = train.frame[scaling].mean(), train.frame[scaling].std()
-    sample_df[scaling] = (sample_df[scaling] - sample_df[scaling].mean()) \
-        / sample_df[scaling].std() * sd.to_numpy() + mu.to_numpy()
+    sample_df = zscore_synthetic(raw, train, spec, dataset_name)
 
     G_sample, _ = pc(sample_df.to_numpy(), alpha=0.05)
     results["SHD (Sample)"] = cpdag_shd(G_real, G_sample)
     print(f"SHD (Sample): {results['SHD (Sample)']}")
 
-    target = spec["target"]
-    if spec["task"] == "regression":
-        synth = regression_eval(sample_df, test.frame, target)
-        results["R^2 (Synthetic)"] = float(np.mean([x[1] for x in synth]))
-    else:
-        if target in sample_df.columns and dataset_name == "adult":
-            sample_df[target] = (sample_df[target] > 0.5).astype(int)
-        synth = classification_eval(sample_df, test.frame, target)
-        results["F1 (Synthetic)"] = float(np.mean([x[1] for x in synth]))
+    key = ("R^2" if spec["task"] == "regression" else "F1") + " (Synthetic)"
+    results[key] = efficacy(sample_df, test.frame, spec)
 
     with open(os.path.join(args.assets_dir,
                            f"inference_TVAE_{dataset_name}.txt"), "w") as f:

@@ -85,3 +85,44 @@ def to_frame(recon: np.ndarray, topology, continuous,
     if binarize_income and "income" in df.columns:
         df["income"] = (df["income"] > 0).astype(int)
     return df
+
+
+def real_cpdag(frame: pd.DataFrame, dataset: str, alpha: float = 0.05):
+    """PC CPDAG of the REAL train data with the reference's
+    independence-test choice: chisq for loan/adult, fisherz for covtype
+    (inference.py:111-125, inference_tvae.py:189-222). Model outputs
+    (reconstructions / synthetic samples) always use fisherz — the
+    decoder emits continuous values (inference.py:250-252, :277-279)."""
+    from ..utils.pc import pc
+    i_test = "fisherz" if dataset == "covtype" else "chisq"
+    G, _ = pc(frame.to_numpy(), alpha=alpha, indep_test=i_test)
+    return G
+
+
+def zscore_synthetic(raw_df: pd.DataFrame, train, spec,
+                     dataset: str) -> pd.DataFrame:
+    """Normalize TVAE synthetic output against the train statistics so PC
+    and ML efficacy operate on the real frames' scale (reference
+    inference_tvae.py); adult's binary income column is re-binarized at
+    0.5 (covtype's 7-way Cover_Type is already integer-decoded)."""
+    sample_df = raw_df[train.continuous].copy()
+    scaling = [c for c in train.continuous
+               if c not in spec["zscore_exclude"]]
+    mu, sd = train.frame[scaling].mean(), train.frame[scaling].std()
+    sample_df[scaling] = (sample_df[scaling] - sample_df[scaling].mean()) \
+        / sample_df[scaling].std() * sd.to_numpy() + mu.to_numpy()
+    target = spec["target"]
+    if dataset == "adult" and target in sample_df.columns:
+        sample_df[target] = (sample_df[target] > 0.5).astype(int)
+    return sample_df
+
+
+def efficacy(sample_df: pd.DataFrame, test_frame: pd.DataFrame,
+             spec) -> float:
+    """Mean train-on-synthetic/test-on-real score (R² for regression
+    specs, micro-F1 for classification — reference evaluation.py)."""
+    from .ml_efficacy import regression_eval, classification_eval
+    ev = (regression_eval if spec["task"] == "regression"
+          else classification_eval)
+    return float(np.mean([v for _, v in
+                          ev(sample_df, test_frame, spec["target"])]))

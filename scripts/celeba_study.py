@@ -83,13 +83,28 @@ def main():
 
     corpus = os.path.join(args.workdir, "corpus")
     assets = os.path.join(args.workdir, "assets")
-    if not os.path.isdir(corpus):
+    # corpus reuse is keyed on the generation settings, not bare existence
+    # (a stale corpus at a different img_size would otherwise be silently
+    # fed to a model built for the new size)
+    meta_path = os.path.join(corpus, "meta.json")
+    meta = {"n_train": args.n_train, "n_test": args.n_test,
+            "img_size": args.img_size, "seed": args.seed}
+    existing = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            existing = json.load(f)
+    if existing != meta:
+        if os.path.isdir(corpus):
+            import shutil
+            shutil.rmtree(corpus)
         write_corpus(corpus, args.n_train, args.n_test, args.img_size,
                      args.seed)
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
 
     ckpt_dir = os.path.join(assets, "celeba_CDGVAE_linear")
     if args.eval_only and os.path.isdir(ckpt_dir):
-        train_s = float("nan")
+        train_s = None
     else:
         from cdgvae_tpu.cli import celeba_main
         argv = ["--data_dir", corpus, "--assets_dir", assets,
@@ -166,13 +181,18 @@ def main():
                            f"celeba_do{args.tag}.png")
     viz_do_grid(grid, out_png, row_names=test.nodes)
 
+    # report the checkpoint's own embedded config for the training
+    # hyperparameters — under --eval_only the CLI args may not match the
+    # run that produced the checkpoint
+    ck_cfg = m.config
     out = {
         "protocol": {"n_train": args.n_train, "n_test": args.n_test,
-                     "img_size": args.img_size, "epochs": args.epochs,
-                     "seed": args.seed, "bf16": bool(args.bf16),
-                     "train_trunk": bool(args.train_trunk),
-                     "lambda": args.lam},
-        "train_wall_s": round(train_s, 1),
+                     "img_size": ck_cfg["img_size"],
+                     "epochs": ck_cfg["epochs"],
+                     "seed": ck_cfg["seed"], "bf16": ck_cfg.get("bf16"),
+                     "train_trunk": bool(ck_cfg.get("train_trunk")),
+                     "lambda": ck_cfg["lambda"]},
+        "train_wall_s": None if train_s is None else round(train_s, 1),
         "test_recon_l1": round(recon_l1, 4),
         "latent_attr_corr_diag": [round(float(v), 3) for v in diag],
         "latent_attr_corr_max_offdiag": [round(float(v), 3)
@@ -183,7 +203,7 @@ def main():
     path = os.path.join(REPO, "docs", "results",
                         f"celeba_study{args.tag}.json")
     with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump(out, f, indent=1, allow_nan=False)
     print(json.dumps(out, indent=1))
     print(f"do-grid -> {out_png}")
 

@@ -65,7 +65,10 @@ def run_config(beta, lam, x, y, x_te, y_te, ds_tr, ds_te, epochs=100,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="docs/results/dr_sweep.json")
+    ap.add_argument("--out", default="",
+                    help="default: docs/results/dr_sweep.json, suffixed "
+                         "_<scm> for non-linear so runs don't clobber "
+                         "each other")
     ap.add_argument("--seeds", type=int, default=1,
                     help="repeat every config for seeds 1..N (model init, "
                          "train RNG and dataset draw all vary per seed)")
@@ -76,6 +79,9 @@ def main():
     ap.add_argument("--scm", default="linear",
                     choices=["linear", "nonlinear"])
     args = ap.parse_args()
+    if not args.out:
+        suffix = "" if args.scm == "linear" else f"_{args.scm}"
+        args.out = f"docs/results/dr_sweep{suffix}.json"
 
     grid = ([(0.1, lam) for lam in args.lams] if args.lams else
             [(0.1, 20.0), (0.1, 40.0), (0.1, 80.0),

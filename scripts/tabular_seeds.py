@@ -36,9 +36,8 @@ from cdgvae_tpu.train.tabular_steps import (make_tabular_step,  # noqa: E402
                                             make_recon_fn)
 from cdgvae_tpu.train.scanned import make_scanned_epochs  # noqa: E402
 from cdgvae_tpu.eval.tabular_inference import (  # noqa: E402
-    reconstruct_dataset, sample_synthetic, to_frame)
-from cdgvae_tpu.eval.ml_efficacy import (regression_eval,  # noqa: E402
-                                         classification_eval)
+    reconstruct_dataset, sample_synthetic, to_frame, real_cpdag,
+    zscore_synthetic, efficacy)
 from cdgvae_tpu.utils.pc import pc, cpdag_shd  # noqa: E402
 
 
@@ -78,16 +77,12 @@ def run_seed(dataset: str, seed: int, epochs: int, train, test, G_real):
     sample_df = to_frame(sample, train.topology, train.continuous)
     G_sample, _ = pc(sample_df.to_numpy(), alpha=0.05)
 
-    target = spec["target"]
-    ev = (regression_eval if spec["task"] == "regression"
-          else classification_eval)
-    synth = float(np.mean([v for _, v in
-                           ev(sample_df, test.frame, target)]))
     out = {"seed": seed, "train_s": round(t_train, 1),
            "final_loss": round(float(m["loss"]), 2),
            "shd_train": int(cpdag_shd(G_real, G_recon)),
            "shd_sample": int(cpdag_shd(G_real, G_sample)),
-           "efficacy_synthetic": round(synth, 4)}
+           "efficacy_synthetic": round(
+               efficacy(sample_df, test.frame, spec), 4)}
     log(f"{dataset} seed {seed}: {out}")
     return out
 
@@ -98,7 +93,6 @@ def run_seed_tvae(dataset: str, seed: int, epochs: int, test, G_real,
     epochs, batch 256, lr 1e-3, lambda 5, weight_decay 1e-5 as torch-style
     L2, sigma in [0.01, 0.1]); BGMM random_state varies with the seed so
     the DataTransformer fit stochasticity is included."""
-    import jax.numpy as jnp  # noqa: F401
     from cdgvae_tpu.data.tabular.datasets import load_tabular_tvae
     from cdgvae_tpu.factory import tvae_block_mask
     from cdgvae_tpu.train.tabular_steps import make_tvae_step
@@ -131,27 +125,14 @@ def run_seed_tvae(dataset: str, seed: int, epochs: int, test, G_real,
 
     raw_df = sample_synthetic_tvae(model, params, data.transformer,
                                    len(data.x_data), seed=seed)
-    # z-score the synthetic output against the train statistics
-    # (cli.tabular_inference_tvae; reference inference_tvae.py)
-    sample_df = raw_df[train.continuous].copy()
-    scaling = [c for c in train.continuous
-               if c not in spec["zscore_exclude"]]
-    mu, sd = train.frame[scaling].mean(), train.frame[scaling].std()
-    sample_df[scaling] = (sample_df[scaling] - sample_df[scaling].mean()) \
-        / sample_df[scaling].std() * sd.to_numpy() + mu.to_numpy()
+    sample_df = zscore_synthetic(raw_df, train, spec, dataset)
     G_sample, _ = pc(sample_df.to_numpy(), alpha=0.05)
 
-    target = spec["target"]
-    if spec["task"] == "classification" and dataset == "adult":
-        sample_df[target] = (sample_df[target] > 0.5).astype(int)
-    ev = (regression_eval if spec["task"] == "regression"
-          else classification_eval)
-    synth = float(np.mean([v for _, v in
-                           ev(sample_df, test.frame, target)]))
     out = {"seed": seed, "train_s": round(t_train, 1),
            "final_loss": round(float(np.asarray(ms["loss"])[-1]), 2),
            "shd_sample": int(cpdag_shd(G_real, G_sample)),
-           "efficacy_synthetic": round(synth, 4)}
+           "efficacy_synthetic": round(
+               efficacy(sample_df, test.frame, spec), 4)}
     log(f"{dataset} TVAE seed {seed}: {out}")
     return out
 
@@ -160,10 +141,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=5)
     ap.add_argument("--datasets", nargs="*", default=["loan", "adult"])
-    ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="default: the reference protocol length "
+                         "(200 CDG-VAE / 300 CDG-TVAE)")
     ap.add_argument("--tvae", action="store_true",
-                    help="CDG-TVAE protocol instead of CDG-VAE (300-epoch "
-                         "default via --epochs)")
+                    help="CDG-TVAE protocol instead of CDG-VAE")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
     if not args.out:
@@ -177,22 +159,17 @@ def main():
         spec = DATASET_SPECS[ds]
         train = load_tabular(ds, train=True)
         test = load_tabular(ds, train=False)
-        # real-data CPDAG: chisq for loan/adult under the TVAE protocol
-        # (reference inference_tvae.py:189-222), fisherz otherwise
-        i_test = ("chisq" if args.tvae and ds != "covtype" else "fisherz")
-        G_real, _ = pc(train.frame.to_numpy(), alpha=0.05,
-                       indep_test=i_test)
-        ev = (regression_eval if spec["task"] == "regression"
-              else classification_eval)
-        baseline = float(np.mean([v for _, v in
-                                  ev(train.frame, test.frame,
-                                     spec["target"])]))
+        # real-data CPDAG with the reference's indep-test choice (shared
+        # helper, same rule as both inference CLIs)
+        G_real = real_cpdag(train.frame, ds)
+        baseline = efficacy(train.frame, test.frame, spec)
         if args.tvae:
-            epochs = args.epochs if args.epochs != 200 else 300
+            epochs = args.epochs or 300
             rows = [run_seed_tvae(ds, s, epochs, test, G_real, train)
                     for s in range(1, args.seeds + 1)]
         else:
-            rows = [run_seed(ds, s, args.epochs, train, test, G_real)
+            epochs = args.epochs or 200
+            rows = [run_seed(ds, s, epochs, train, test, G_real)
                     for s in range(1, args.seeds + 1)]
         all_results[ds] = {
             "task": spec["task"],

@@ -56,11 +56,9 @@ def test_api_no_retrace_across_calls(tmp_path):
     assert m._gen._cache_size() == n_gen
 
 
-def test_loaded_model_celeba(tmp_path):
-    """LoadedModel dispatches celeba checkpoints (dual latent, per-sample
-    masks from the input channels); sampling is rejected with a clear
-    message since it needs segmentation masks."""
-    import pytest
+def _tiny_celeba_loaded_model(tmp_path, init_key=0):
+    """Save+load a tiny random-init celeba checkpoint through the full
+    LoadedModel path (shared by the dispatch and leakage tests)."""
     from cdgvae_tpu.models.celeba import (CelebACDGVAE, celeba_B,
                                           SMILE_NODES)
     from cdgvae_tpu.ops.causal import CausalGraph
@@ -71,11 +69,19 @@ def test_loaded_model_celeba(tmp_path):
     B = celeba_B(SMILE_NODES, 0, True)
     graph = CausalGraph(B, scm="linear", flow_num=1, inverse_loop=100)
     model = CelebACDGVAE(graph, latent_dim=6, image_size=32, conv_dim=4)
-    params = model.init(jax.random.key(0))
+    params = model.init(jax.random.key(init_key))
     ckpt = str(tmp_path / "celeba_ck")
     save_checkpoint(ckpt, params, config=cfg)
+    return LoadedModel.load(ckpt)
 
-    m = LoadedModel.load(ckpt)
+
+def test_loaded_model_celeba(tmp_path):
+    """LoadedModel dispatches celeba checkpoints (dual latent, per-sample
+    masks from the input channels); sampling is rejected with a clear
+    message since it needs segmentation masks."""
+    import pytest
+
+    m = _tiny_celeba_loaded_model(tmp_path)
     x = np.random.default_rng(0).uniform(
         size=(2, 32, 32, 8)).astype(np.float32)
     z = m.encode(x)
@@ -100,20 +106,7 @@ def test_celeba_do_leakage_outside_masks_is_zero(tmp_path):
     of j — every other pixel is bit-unchanged (the masked-GAM sum; the
     celeba analog of the pendulum CDM structural zeros,
     scripts/celeba_study.py measures the trained version)."""
-    from cdgvae_tpu.models.celeba import (CelebACDGVAE, celeba_B,
-                                          SMILE_NODES, BLOCK_GROUPS)
-    from cdgvae_tpu.ops.causal import CausalGraph
-
-    cfg = dict(model="CDGVAE", causal_structure=0, node=6, latent_dim=6,
-               scm="linear", flow_num=1, inverse_loop=100,
-               adjacency_scaling=True, img_size=32, conv_dim=4)
-    B = celeba_B(SMILE_NODES, 0, True)
-    graph = CausalGraph(B, scm="linear", flow_num=1, inverse_loop=100)
-    model = CelebACDGVAE(graph, latent_dim=6, image_size=32, conv_dim=4)
-    params = model.init(jax.random.key(1))
-    ckpt = str(tmp_path / "celeba_ck")
-    save_checkpoint(ckpt, params, config=cfg)
-    m = LoadedModel.load(ckpt)
+    m = _tiny_celeba_loaded_model(tmp_path, init_key=1)
 
     # disjoint binary part masks in channels 3..7
     x = np.random.default_rng(1).uniform(
