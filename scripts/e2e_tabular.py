@@ -72,12 +72,12 @@ def main():
     # inference: PC/SHD + ML efficacy
     from cdgvae_tpu.eval.tabular_inference import (reconstruct_dataset,
                                                    sample_synthetic,
-                                                   to_frame)
+                                                   to_frame, real_cpdag)
     from cdgvae_tpu.eval.ml_efficacy import regression_eval
     from cdgvae_tpu.utils.pc import pc, cpdag_shd
 
     t0 = time.time()
-    G_real, _ = pc(train.frame.to_numpy(), alpha=0.05)
+    G_real = real_cpdag(train.frame, ds_name)
     recon = reconstruct_dataset(model, params, x, ds_name, seed=1)
     recon_df = to_frame(recon, train.topology, train.continuous)
     G_recon, _ = pc(recon_df.to_numpy(), alpha=0.05)
