@@ -66,6 +66,14 @@ def get_args(debug: bool = False, argv=None):
                         help="weight of label alignment loss")
     parser.add_argument("--gamma", default=1, type=float,
                         help="weight of f-divergence (InfoMax)")
+    parser.add_argument("--online", action="store_true",
+                        help="fresh-data-per-step training: every step "
+                             "draws a new batch from the pendulum_real DGP "
+                             "and rasterizes it ON DEVICE inside the "
+                             "compiled scan (train/online.py) — infinite "
+                             "data, no input pipeline; a capability the "
+                             "reference's PNG pipeline cannot express. "
+                             "VAE/CDGVAE, single-device scanned path only")
     add_png_data_dir_arg(parser)
     add_resume_arg(parser)
     add_infra_args(parser)
@@ -169,7 +177,30 @@ def main(argv=None):
         logger.log(metrics, step=epoch)
 
     pred = lambda e: _ckpt_due(e) or _viz_due(e)  # noqa: E731
-    if config["model"] != "InfoMax" and not config["eager"]:
+    if config["online"]:
+        # fresh-data-per-step: DGP draw + rasterization + train step all
+        # inside one compiled scan (train/online.py) — one dispatch per
+        # epoch-equivalent (len(train split) // batch steps, matching the
+        # fixed-dataset protocol's step count)
+        if config["model"] == "InfoMax" or config["eager"] or \
+                config.get("dp", 0) or config.get("data_dir"):
+            raise SystemExit("--online supports the VAE/CDGVAE "
+                             "single-device scanned path only")
+        from ..train.online import make_online_scanned_steps
+        steps_per_epoch = len(x_data) // config["batch_size"]
+        run = make_online_scanned_steps(
+            model, optimizer, config["beta"], config["lambda"],
+            config["batch_size"], n_steps_per_call=steps_per_epoch,
+            image_size=config["image_size"], norm_seed=config["seed"])
+        for epoch in range(start_epoch, config["epochs"]):
+            p, o, ms = run(state[0], state[1], k_train,
+                           epoch * steps_per_epoch)
+            state = (p, o)
+            _on_epoch(epoch, {k: float(np.mean(np.asarray(v)))
+                              for k, v in ms.items()})
+            if pred(epoch):
+                _post_epoch(state, epoch)
+    elif config["model"] != "InfoMax" and not config["eager"]:
         # scan-compiled trainer: one device dispatch per <=5-epoch chunk
         # (the reference protocol dispatches per batch — ~5800 host round
         # trips for its 100-epoch run). Chunks additionally split at every

@@ -1,0 +1,104 @@
+"""Online (fresh-data-per-step) training for the pendulum family.
+
+A capability the reference cannot express: its data pipeline is
+matplotlib -> PNG files -> PIL -> RAM (modules/pendulum_real.py,
+modules/datasets.py:24-28), so every run trains on one fixed 7.5k-image
+draw. Here the pendulum_real DGP (reference pendulum_real.py:49-81) and
+the scene rasterizer both run on device, so every training step can draw
+a FRESH batch from the true data distribution inside the compiled scan —
+infinite data, zero input pipeline, no epoch/shuffle machinery.
+
+Label normalization constants are frozen from a reference-protocol draw
+of the DGP (the centered min-max of modules/datasets.py:31-37 is a
+dataset statistic; online batches use the same population constants so
+the alignment targets match the fixed-dataset protocol).
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.pendulum import (shadow_physics, sample_factors_real,
+                             normalize_labels, _BETA)
+from ..ops.renderer import render
+from .scanned import make_supervised_loss_fn
+
+
+def sample_factors_device(rng: jax.Array, n: int) -> jax.Array:
+    """Device-side pendulum_real DGP (jnp twin of
+    data/pendulum.py::sample_factors_real; reference
+    pendulum_real.py:49-81): uniform light/pendulum angles, closed-form
+    shadow physics, N(0, 0.1²) measurement error, 20% corruption
+    (uniform shadow resample on every 5th sample), Bernoulli target with
+    the -2·sin(logit) nonlinearity."""
+    k = jax.random.split(rng, 6)
+    light = jax.random.uniform(k[0], (n,), minval=math.pi / 4,
+                               maxval=math.pi / 2)
+    angle = jax.random.uniform(k[1], (n,), minval=0.0,
+                               maxval=math.pi / 4)
+    length, position = shadow_physics(light, angle, xp=jnp)
+    length = length + 0.1 * jax.random.normal(k[2], (n,))
+    position = position + 0.1 * jax.random.normal(k[3], (n,))
+
+    corrupt = (jnp.arange(n) + 1) % 5 == 0
+    u = jax.random.uniform(k[4], (n, 2), minval=0.0, maxval=12.0)
+    length = jnp.where(corrupt, u[:, 0], length)
+    position = jnp.where(corrupt, u[:, 1], position)
+
+    logit = jnp.stack([light, angle, length, position], 1) @ \
+        jnp.asarray(_BETA, jnp.float32)
+    p = 1.0 / (1.0 + jnp.exp(-logit + 2.0 * jnp.sin(logit)))
+    target = jax.random.bernoulli(k[5], p).astype(jnp.float32)
+    return jnp.stack([light, angle, length, position, target], axis=1)
+
+
+def label_norm_stats(seed: int = 1, n: int = 10000):
+    """Freeze the reference protocol's label-normalization constants from
+    a host draw of the DGP train split: y = (centered - min)/(max - min)
+    with the dataset mean/min/max (modules/datasets.py:31-37)."""
+    factors, is_test = sample_factors_real(seed, n)
+    train = factors[~is_test]
+    mu = train.mean(axis=0)
+    centered = train - mu
+    return (jnp.asarray(mu, jnp.float32),
+            jnp.asarray(centered.min(axis=0), jnp.float32),
+            jnp.asarray(centered.max(axis=0), jnp.float32))
+
+
+def make_online_scanned_steps(model, optimizer, beta: float, lam: float,
+                              batch_size: int, n_steps_per_call: int,
+                              image_size: int = 64, norm_seed: int = 1,
+                              compute_dtype=None) -> Callable:
+    """One XLA program running ``n_steps_per_call`` train steps, each on a
+    freshly sampled+rendered batch: DGP draw -> rasterize -> fused
+    fwd/loss/bwd/Adam, all inside one ``lax.scan``. Returns
+    ``run(params, opt_state, rng, step0) -> (params, opt_state, metrics)``
+    with per-step metrics stacked along the leading axis."""
+    loss_fn = make_supervised_loss_fn(model, beta, lam, compute_dtype)
+    mu, mn, mx = label_norm_stats(norm_seed)
+
+    def body(carry, step_idx):
+        params, opt_state, rng = carry
+        k_data, k_step = jax.random.split(jax.random.fold_in(rng, step_idx))
+        factors = sample_factors_device(k_data, batch_size)
+        x = render(factors[:, :4], size=image_size)
+        y = ((factors - mu) - mn) / (mx - mn)
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, x, y, k_step)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, rng), metrics
+
+    @jax.jit
+    def run(params, opt_state, rng, step0):
+        steps = step0 + jnp.arange(n_steps_per_call)
+        (params, opt_state, _), metrics = jax.lax.scan(
+            body, (params, opt_state, rng), steps)
+        return params, opt_state, metrics
+
+    return run
