@@ -43,6 +43,14 @@ def get_args(debug: bool = False, argv=None):
     parser.add_argument("--beta", default=0.1, type=float)
     parser.add_argument("--lambda", default=20, type=float)
     parser.add_argument("--gamma", default=1, type=float)
+    parser.add_argument("--online", action="store_true",
+                        help="fresh-data-per-step training: every step "
+                             "draws a new batch from the DR DGP (spurious "
+                             "background included) and rasterizes it on "
+                             "device inside the compiled scan "
+                             "(train/online.py::dr_batch_fn). VAE/CDGVAE "
+                             "single-device scanned path, full labels, "
+                             "label_normalization only")
     add_png_data_dir_arg(parser)
     add_resume_arg(parser)
     add_infra_args(parser)
@@ -105,7 +113,33 @@ def main(argv=None):
             viz_recon_grid(np.asarray(xhat),
                            f"{config['assets_dir']}/tmp_image_{epoch}.png")
 
-    if config["model"] != "InfoMax" and not config["eager"]:
+    if config["online"]:
+        # fresh-data-per-step on the DR DGP (cli.main --online analog):
+        # DGP draw + blue-background rasterization + train step in one
+        # compiled scan, one dispatch per epoch-equivalent
+        if config["model"] == "InfoMax" or config["eager"] or \
+                config.get("dp", 0) or config.get("data_dir") or \
+                config["labeled_ratio"] < 1 or \
+                not config["label_normalization"]:
+            raise SystemExit("--online supports the VAE/CDGVAE "
+                             "single-device scanned path with full labels "
+                             "and label_normalization only")
+        from ..train.online import make_online_scanned_steps, dr_batch_fn
+        steps_per_epoch = len(x_data) // config["batch_size"]
+        run = make_online_scanned_steps(
+            model, optimizer, config["beta"], config["lambda"],
+            config["batch_size"], n_steps_per_call=steps_per_epoch,
+            sample_batch=dr_batch_fn(config["batch_size"],
+                                     config["image_size"],
+                                     norm_seed=config["seed"]))
+        for epoch in range(start_epoch, config["epochs"]):
+            p, o, ms = run(state[0], state[1], k_train,
+                           epoch * steps_per_epoch)
+            state = (p, o)
+            on_epoch(epoch, {k: float(np.mean(np.asarray(v)))
+                             for k, v in ms.items()})
+            post_epoch(state, epoch)
+    elif config["model"] != "InfoMax" and not config["eager"]:
         # scanned trainer; --dp swaps in the shard_map trainer (same
         # wiring as cli.main — DR uses the identical supervised loss)
         from ..train.scanned import make_supervised_loss_fn

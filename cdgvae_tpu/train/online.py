@@ -25,6 +25,7 @@ import optax
 
 from ..data.pendulum import (shadow_physics, sample_factors_real,
                              normalize_labels, _BETA)
+from ..data.pendulum_dr import sample_factors_dr
 from ..ops.renderer import render
 from .scanned import make_supervised_loss_fn
 
@@ -70,24 +71,104 @@ def label_norm_stats(seed: int = 1, n: int = 10000):
             jnp.asarray(centered.max(axis=0), jnp.float32))
 
 
+def pendulum_batch_fn(batch_size: int, image_size: int = 64,
+                      norm_seed: int = 1) -> Callable:
+    """``sample_batch(rng) -> (x, y)`` for the root pendulum family:
+    device DGP draw -> rasterize -> frozen-constant label normalization."""
+    mu, mn, mx = label_norm_stats(norm_seed)
+
+    def sample(rng):
+        factors = sample_factors_device(rng, batch_size)
+        x = render(factors[:, :4], size=image_size)
+        y = ((factors - mu) - mn) / (mx - mn)
+        return x, y
+    return sample
+
+
+def dr_label_norm_stats(seed: int = 1, n: int = 10000):
+    """Frozen DR constants from a host draw: the train mean of the four
+    physics factors (used BOTH to center the target logit, reference
+    DR/modules/pendulum_DR.py-equivalent sample_factors_dr, and as the
+    label centering of data/pendulum_dr.py:113-118) plus the centered
+    min/max for normalization. Background/target columns are 0/1 and
+    stay raw."""
+    train, _ = sample_factors_dr(seed, n)
+    mu4 = train[:, :4].mean(axis=0)
+    centered = train[:, :4] - mu4
+    return (jnp.asarray(mu4, jnp.float32),
+            jnp.asarray(centered.min(axis=0), jnp.float32),
+            jnp.asarray(centered.max(axis=0), jnp.float32))
+
+
+def sample_factors_dr_device(rng: jax.Array, n: int, mu4: jax.Array,
+                             p1: float = 0.8, p0: float = 0.2) -> jax.Array:
+    """Device-side DR DGP (jnp twin of
+    data/pendulum_dr.py::sample_factors_dr, train split): the pendulum
+    physics + noise + corruption, target tau from the mean-centered
+    logit, and the SPURIOUS background ~ Bernoulli(p1 if tau else p0)
+    (train correlation 0.8/0.2; the test split's 0.5/0.5 stays a
+    fixed-dataset eval). ``mu4`` is the frozen train mean
+    (dr_label_norm_stats). Host rounding to 4 decimals is skipped —
+    immaterial to the distribution. Returns [n, 6]:
+    (light, angle, length, position, background, target)."""
+    k = jax.random.split(rng, 7)
+    light = jax.random.uniform(k[0], (n,), minval=math.pi / 4,
+                               maxval=math.pi / 2)
+    angle = jax.random.uniform(k[1], (n,), minval=0.0,
+                               maxval=math.pi / 4)
+    length, position = shadow_physics(light, angle, xp=jnp)
+    length = length + 0.1 * jax.random.normal(k[2], (n,))
+    position = position + 0.1 * jax.random.normal(k[3], (n,))
+    corrupt = (jnp.arange(n) + 1) % 5 == 0
+    u = jax.random.uniform(k[4], (n, 2), minval=0.0, maxval=12.0)
+    length = jnp.where(corrupt, u[:, 0], length)
+    position = jnp.where(corrupt, u[:, 1], position)
+
+    f4 = jnp.stack([light, angle, length, position], axis=1)
+    logit = (f4 - mu4) @ jnp.asarray(_BETA, jnp.float32)
+    p = 1.0 / (1.0 + jnp.exp(-logit + 2.0 * jnp.sin(logit)))
+    tau = jax.random.bernoulli(k[5], p).astype(jnp.float32)
+    bg_p = jnp.where(tau == 1.0, p1, p0)
+    background = jax.random.bernoulli(k[6], bg_p).astype(jnp.float32)
+    return jnp.concatenate([f4, background[:, None], tau[:, None]], axis=1)
+
+
+def dr_batch_fn(batch_size: int, image_size: int = 64,
+                norm_seed: int = 1) -> Callable:
+    """``sample_batch(rng) -> (x, y)`` for the DR family: device DGP ->
+    blue-background rasterize -> frozen-constant normalization of the
+    four physics labels (background/target stay 0/1,
+    data/pendulum_dr.py:113-120)."""
+    mu4, mn, mx = dr_label_norm_stats(norm_seed)
+
+    def sample(rng):
+        f = sample_factors_dr_device(rng, batch_size, mu4)
+        x = render(f[:, :4], size=image_size, background=f[:, 4])
+        y4 = ((f[:, :4] - mu4) - mn) / (mx - mn)
+        return x, jnp.concatenate([y4, f[:, 4:]], axis=1)
+    return sample
+
+
 def make_online_scanned_steps(model, optimizer, beta: float, lam: float,
                               batch_size: int, n_steps_per_call: int,
                               image_size: int = 64, norm_seed: int = 1,
+                              sample_batch: Callable | None = None,
                               compute_dtype=None) -> Callable:
     """One XLA program running ``n_steps_per_call`` train steps, each on a
     freshly sampled+rendered batch: DGP draw -> rasterize -> fused
-    fwd/loss/bwd/Adam, all inside one ``lax.scan``. Returns
+    fwd/loss/bwd/Adam, all inside one ``lax.scan``. ``sample_batch``
+    (rng -> (x, y)) defaults to the root pendulum family
+    (pendulum_batch_fn); pass dr_batch_fn(...) for the DR family. Returns
     ``run(params, opt_state, rng, step0) -> (params, opt_state, metrics)``
     with per-step metrics stacked along the leading axis."""
     loss_fn = make_supervised_loss_fn(model, beta, lam, compute_dtype)
-    mu, mn, mx = label_norm_stats(norm_seed)
+    if sample_batch is None:
+        sample_batch = pendulum_batch_fn(batch_size, image_size, norm_seed)
 
     def body(carry, step_idx):
         params, opt_state, rng = carry
         k_data, k_step = jax.random.split(jax.random.fold_in(rng, step_idx))
-        factors = sample_factors_device(k_data, batch_size)
-        x = render(factors[:, :4], size=image_size)
-        y = ((factors - mu) - mn) / (mx - mn)
+        x, y = sample_batch(k_data)
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, x, y, k_step)
         updates, opt_state = optimizer.update(grads, opt_state, params)

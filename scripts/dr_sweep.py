@@ -33,19 +33,32 @@ from cdgvae_tpu.eval.downstream import (robustness,  # noqa: E402
 
 
 def run_config(beta, lam, x, y, x_te, y_te, ds_tr, ds_te, epochs=100,
-               seed=1, scm="linear"):
+               seed=1, scm="linear", online=False):
     config = dict(model="CDGVAE", node=5, scm=scm, flow_num=1,
                   inverse_loop=100, factor=[1, 1, 2], image_size=64,
                   adjacency_scaling=True)
     model, _ = build_pendulum_model(config, spurious=True)
     params = model.init(jax.random.key(seed))
     opt = optax.adam(1e-3)
-    step = unjitted_step(model, opt, beta, lam)
-    run = make_scanned_epochs(step, batch_size=128,
-                              n_epochs_per_call=epochs)
     t0 = time.time()
-    params, _, ms = run(params, opt.init(params), x, y,
-                        jax.random.key(seed + 1000), 0)
+    if online:
+        # fresh-data-per-step at the same step count; eval below stays on
+        # the fixed splits so numbers are comparable (train/online.py)
+        from cdgvae_tpu.train.online import (make_online_scanned_steps,
+                                             dr_batch_fn)
+        run = make_online_scanned_steps(
+            model, opt, beta, lam, 128,
+            n_steps_per_call=(len(x) // 128) * epochs,
+            sample_batch=dr_batch_fn(128, 64, norm_seed=seed))
+        params, _, ms = run(params, opt.init(params),
+                            jax.random.key(seed + 1000), 0)
+    else:
+        step = unjitted_step(model, opt, beta, lam)
+        run = make_scanned_epochs(step, batch_size=128,
+                                  n_epochs_per_call=epochs)
+        params, _, ms = run(params, opt.init(params), x, y,
+                            jax.random.key(seed + 1000), 0)
+    jax.block_until_ready(ms["loss"])
     dt = time.time() - t0
     res = robustness(model, params, ds_tr.x_data, ds_tr.y_data,
                      ds_te.x_data, ds_te.y_data, seed=0, repeats=10)
@@ -55,7 +68,7 @@ def run_config(beta, lam, x, y, x_te, y_te, ds_tr, ds_te, epochs=100,
     leaks = [round(abs(float(np.corrcoef(reps[:, j], bg)[0, 1])), 2)
              for j in range(reps.shape[1])]
     return {"beta": beta, "lambda": lam, "epochs": epochs, "seed": seed,
-            "scm": scm,
+            "scm": scm, "online": online,
             "train_s": round(dt, 1),
             "final_loss": round(float(np.asarray(ms["loss"])[-1]), 1),
             "avg_accuracy": round(res["avg_accuracy"], 4),
@@ -78,9 +91,13 @@ def main():
                          "beta/lambda grid")
     ap.add_argument("--scm", default="linear",
                     choices=["linear", "nonlinear"])
+    ap.add_argument("--online", action="store_true",
+                    help="train with fresh-data-per-step (train/online.py)"
+                         " instead of the fixed dataset; eval unchanged")
     args = ap.parse_args()
     if not args.out:
         suffix = "" if args.scm == "linear" else f"_{args.scm}"
+        suffix += "_online" if args.online else ""
         args.out = f"docs/results/dr_sweep{suffix}.json"
 
     grid = ([(0.1, lam) for lam in args.lams] if args.lams else
@@ -99,7 +116,7 @@ def main():
         y = jax.device_put(ds_align.y_data)
         for beta, lam in grid:
             r = run_config(beta, lam, x, y, None, None, ds_tr, ds_te,
-                           seed=seed, scm=args.scm)
+                           seed=seed, scm=args.scm, online=args.online)
             print(json.dumps(r), flush=True)
             results.append(r)
 

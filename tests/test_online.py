@@ -58,6 +58,39 @@ def test_online_scanned_steps_train_and_are_deterministic():
                               np.asarray(m3["loss"]))
 
 
+def test_device_dr_dgp_matches_host_dgp_distribution():
+    """The jnp DR DGP twin matches the host train-split DGP
+    (data/pendulum_dr.py::sample_factors_dr): factor moments within
+    sampling noise, and the SPURIOUS train correlation — background rate
+    0.8 given target=1, 0.2 given target=0 — reproduced."""
+    from cdgvae_tpu.data.pendulum_dr import sample_factors_dr
+    from cdgvae_tpu.train.online import (sample_factors_dr_device,
+                                         dr_label_norm_stats)
+    n = 8000
+    mu4, _, _ = dr_label_norm_stats(seed=0, n=n)
+    dev = np.asarray(sample_factors_dr_device(jax.random.key(0), n, mu4))
+    host, _ = sample_factors_dr(seed=0, n=n)
+    np.testing.assert_allclose(dev.mean(0), host.mean(0),
+                               rtol=0.06, atol=0.05)
+    bg, tau = dev[:, 4], dev[:, 5]
+    assert abs(bg[tau == 1].mean() - 0.8) < 0.03
+    assert abs(bg[tau == 0].mean() - 0.2) < 0.03
+
+
+def test_dr_online_scanned_steps_train():
+    from cdgvae_tpu.train.online import dr_batch_fn
+    cfg = dict(CFG, node=5)
+    model, _ = build_pendulum_model(cfg, spurious=True)
+    params = model.init(jax.random.key(0))
+    opt = optax.adam(1e-3)
+    run = make_online_scanned_steps(
+        model, opt, beta=0.1, lam=20.0, batch_size=16, n_steps_per_call=5,
+        sample_batch=dr_batch_fn(16, image_size=16))
+    p1, o1, m1 = run(params, opt.init(params), jax.random.key(1), 0)
+    losses = np.asarray(m1["loss"])
+    assert np.all(np.isfinite(losses)) and losses[-1] < losses[0]
+
+
 def test_label_norm_stats_match_dataset_protocol():
     """The frozen constants reproduce the fixed-dataset normalization on
     the dataset's own draw (modules/datasets.py:31-37)."""
