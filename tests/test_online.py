@@ -100,3 +100,17 @@ def test_label_norm_stats_match_dataset_protocol():
     y = ((ds.factors - np.asarray(mu)) - np.asarray(mn)) / \
         (np.asarray(mx) - np.asarray(mn))
     np.testing.assert_allclose(y, ds.y_data, rtol=1e-4, atol=1e-4)
+
+
+def test_dr_label_norm_stats_match_dataset_protocol():
+    """The frozen DR constants reproduce the DR dataset's normalization
+    of the four physics labels on its own draw
+    (data/pendulum_dr.py:113-120); background/target stay raw."""
+    from cdgvae_tpu.data.pendulum_dr import PendulumDRDataset
+    from cdgvae_tpu.train.online import dr_label_norm_stats
+    ds = PendulumDRDataset(image_size=16, train=True, seed=1, n=2000)
+    mu4, mn, mx = dr_label_norm_stats(seed=1, n=2000)
+    y4 = ((ds.factors[:, :4] - np.asarray(mu4)) - np.asarray(mn)) / \
+        (np.asarray(mx) - np.asarray(mn))
+    np.testing.assert_allclose(y4, ds.y_data[:, :4], rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(ds.y_data[:, 4:], ds.factors[:, 4:])
