@@ -49,8 +49,9 @@ def get_args(debug: bool = False, argv=None):
                              "background included) and rasterizes it on "
                              "device inside the compiled scan "
                              "(train/online.py::dr_batch_fn). VAE/CDGVAE "
-                             "single-device scanned path, full labels, "
-                             "label_normalization only")
+                             "scanned path (composes with --dp: per-device "
+                             "DGP draws, one gradient pmean per step); "
+                             "full labels, label_normalization only")
     add_png_data_dir_arg(parser)
     add_resume_arg(parser)
     add_infra_args(parser)
@@ -118,20 +119,33 @@ def main(argv=None):
         # DGP draw + blue-background rasterization + train step in one
         # compiled scan, one dispatch per epoch-equivalent
         if config["model"] == "InfoMax" or config["eager"] or \
-                config.get("dp", 0) or config.get("data_dir") or \
+                config.get("data_dir") or \
                 config["labeled_ratio"] < 1 or \
                 not config["label_normalization"]:
             raise SystemExit("--online supports the VAE/CDGVAE "
-                             "single-device scanned path with full labels "
+                             "scanned path with full labels "
                              "and label_normalization only")
-        from ..train.online import make_online_scanned_steps, dr_batch_fn
+        from ..train.online import (make_online_scanned_steps,
+                                    make_sharded_online_scanned_steps,
+                                    dr_batch_fn)
         steps_per_epoch = len(x_data) // config["batch_size"]
-        run = make_online_scanned_steps(
-            model, optimizer, config["beta"], config["lambda"],
-            config["batch_size"], n_steps_per_call=steps_per_epoch,
-            sample_batch=dr_batch_fn(config["batch_size"],
-                                     config["image_size"],
-                                     norm_seed=config["seed"]))
+        if mesh is not None:
+            # multi-chip online on the DR DGP: per-device draws (incl. the
+            # spurious background), one gradient pmean per step
+            from ..parallel.mesh import replicate
+            state = replicate(mesh, state)
+            run = make_sharded_online_scanned_steps(
+                model, optimizer, config["beta"], config["lambda"], mesh,
+                config["batch_size"], n_steps_per_call=steps_per_epoch,
+                sample_batch_builder=lambda bs: dr_batch_fn(
+                    bs, config["image_size"], norm_seed=config["seed"]))
+        else:
+            run = make_online_scanned_steps(
+                model, optimizer, config["beta"], config["lambda"],
+                config["batch_size"], n_steps_per_call=steps_per_epoch,
+                sample_batch=dr_batch_fn(config["batch_size"],
+                                         config["image_size"],
+                                         norm_seed=config["seed"]))
         for epoch in range(start_epoch, config["epochs"]):
             p, o, ms = run(state[0], state[1], k_train,
                            epoch * steps_per_epoch)

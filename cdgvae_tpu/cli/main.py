@@ -73,7 +73,9 @@ def get_args(debug: bool = False, argv=None):
                              "compiled scan (train/online.py) — infinite "
                              "data, no input pipeline; a capability the "
                              "reference's PNG pipeline cannot express. "
-                             "VAE/CDGVAE, single-device scanned path only")
+                             "VAE/CDGVAE scanned path; composes with --dp "
+                             "(per-device DGP draws, one gradient pmean "
+                             "per step)")
     add_png_data_dir_arg(parser)
     add_resume_arg(parser)
     add_infra_args(parser)
@@ -183,15 +185,26 @@ def main(argv=None):
         # epoch-equivalent (len(train split) // batch steps, matching the
         # fixed-dataset protocol's step count)
         if config["model"] == "InfoMax" or config["eager"] or \
-                config.get("dp", 0) or config.get("data_dir"):
+                config.get("data_dir"):
             raise SystemExit("--online supports the VAE/CDGVAE "
-                             "single-device scanned path only")
-        from ..train.online import make_online_scanned_steps
+                             "scanned path only")
+        from ..train.online import (make_online_scanned_steps,
+                                    make_sharded_online_scanned_steps)
         steps_per_epoch = len(x_data) // config["batch_size"]
-        run = make_online_scanned_steps(
-            model, optimizer, config["beta"], config["lambda"],
-            config["batch_size"], n_steps_per_call=steps_per_epoch,
-            image_size=config["image_size"], norm_seed=config["seed"])
+        if mesh is not None:
+            # multi-chip online: each device runs its own DGP+rasterizer
+            # (no host data path at all), one gradient pmean per step
+            from ..parallel.mesh import replicate
+            state = replicate(mesh, state)
+            run = make_sharded_online_scanned_steps(
+                model, optimizer, config["beta"], config["lambda"], mesh,
+                config["batch_size"], n_steps_per_call=steps_per_epoch,
+                image_size=config["image_size"], norm_seed=config["seed"])
+        else:
+            run = make_online_scanned_steps(
+                model, optimizer, config["beta"], config["lambda"],
+                config["batch_size"], n_steps_per_call=steps_per_epoch,
+                image_size=config["image_size"], norm_seed=config["seed"])
         for epoch in range(start_epoch, config["epochs"]):
             p, o, ms = run(state[0], state[1], k_train,
                            epoch * steps_per_epoch)

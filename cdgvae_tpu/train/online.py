@@ -149,6 +149,71 @@ def dr_batch_fn(batch_size: int, image_size: int = 64,
     return sample
 
 
+def make_sharded_online_scanned_steps(
+        model, optimizer, beta: float, lam: float, mesh, batch_size: int,
+        n_steps_per_call: int, image_size: int = 64, norm_seed: int = 1,
+        sample_batch_builder: Callable[[int], Callable] | None = None,
+        compute_dtype=None) -> Callable:
+    """Multi-chip online training: fresh-data-per-step over the ``dp``
+    mesh with NO host data path at all. Each device runs its OWN copy of
+    the DGP + rasterizer (keys folded per step AND per device, so the
+    global batch is ``n_dev`` independent draws of ``batch_size / n_dev``
+    samples each), computes local gradients, and the only communication
+    is one ``pmean`` of gradients (and metrics) per step over ICI —
+    data generation scales linearly with the mesh while the collective
+    cost matches the fixed-dataset sharded trainer
+    (scanned.make_sharded_scanned_epochs_from_loss).
+
+    ``sample_batch_builder(local_batch_size) -> (rng -> (x, y))`` defaults
+    to the root pendulum family (pendulum_batch_fn); pass
+    ``lambda bs: dr_batch_fn(bs, image_size, norm_seed)`` for DR.
+
+    Returns ``run(params, opt_state, rng, step0)`` with the same contract
+    as :func:`make_online_scanned_steps` (params/opt replicated; per-step
+    metrics are cross-device means).
+    """
+    from jax.sharding import PartitionSpec as P
+    from .scanned import _resolve_shard_map
+
+    loss_fn = make_supervised_loss_fn(model, beta, lam, compute_dtype)
+    shard_map = _resolve_shard_map()
+    n_dev = mesh.devices.size
+    if batch_size % n_dev:
+        raise ValueError(f"batch_size {batch_size} not divisible by "
+                         f"{n_dev} devices")
+    if sample_batch_builder is None:
+        def sample_batch_builder(bs):
+            return pendulum_batch_fn(bs, image_size, norm_seed)
+    sample_batch = sample_batch_builder(batch_size // n_dev)
+
+    def device_body(params, opt_state, rng, step0):
+        dev = jax.lax.axis_index("dp")
+
+        def body(carry, step_idx):
+            params, opt_state = carry
+            k_data, k_step = jax.random.split(jax.random.fold_in(
+                jax.random.fold_in(rng, step_idx), dev))
+            x, y = sample_batch(k_data)
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, x, y, k_step)
+            # THE collective: gradient (+metric) mean over ICI
+            grads = jax.lax.pmean(grads, "dp")
+            metrics = jax.lax.pmean(metrics, "dp")
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), metrics
+
+        steps = step0 + jnp.arange(n_steps_per_call)
+        (params, opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state), steps)
+        return params, opt_state, metrics
+
+    rep = P()
+    run = shard_map(device_body, mesh, in_specs=(rep, rep, rep, rep),
+                    out_specs=(rep, rep, rep))
+    return jax.jit(run, donate_argnums=(0, 1))
+
+
 def make_online_scanned_steps(model, optimizer, beta: float, lam: float,
                               batch_size: int, n_steps_per_call: int,
                               image_size: int = 64, norm_seed: int = 1,

@@ -188,6 +188,29 @@ def test_dr_dp_mesh_scanned(workdir):
                                        "state.pkl"))
 
 
+def test_main_online_dp_mesh_scanned(workdir):
+    """--online --dp 8: multi-chip fresh-data-per-step training (per-device
+    on-chip DGP+rasterizer, gradient pmean) writes a working checkpoint."""
+    from cdgvae_tpu.cli import main
+    out = os.path.join(workdir, "online_dp")
+    main.main(SMALL + ["--model", "CDGVAE", "--epochs", "2",
+                       "--batch_size", "16", "--dp", "8", "--online",
+                       "--assets_dir", out])
+    assert os.path.exists(os.path.join(out, "model_CDGVAE_linear",
+                                       "state.pkl"))
+
+
+def test_dr_online_dp_mesh_scanned(workdir):
+    """DR family --online --dp: the spurious-background DGP runs per
+    device inside the sharded scan."""
+    from cdgvae_tpu.cli import dr_main
+    out = os.path.join(workdir, "dr_online_dp")
+    dr_main.main(SMALL + ["--epochs", "2", "--batch_size", "16",
+                          "--dp", "8", "--online", "--assets_dir", out])
+    assert os.path.exists(os.path.join(out, "model_DR_CDGVAE_linear",
+                                       "state.pkl"))
+
+
 def test_tabular_dp_mesh_scanned(workdir):
     """Tabular family under --dp: shard_map scanned trainer with the
     dataset-specific loss."""
