@@ -43,6 +43,12 @@ def get_args(debug: bool = False, argv=None):
     # NOTE: the reference's DR semi default is 5 (DR/main_semi.py:107),
     # unlike supervised DR's 20 (DR/main.py:105) — kept faithfully
     parser.add_argument("--lambda", default=5, type=float)
+    parser.add_argument("--online", action="store_true",
+                        help="infinite unlabeled stream from the device-"
+                             "side DR DGP (spurious background included) "
+                             "inside the compiled scan; the labeled set "
+                             "stays fixed. Composes with --dp (see "
+                             "cli.main_semi --online)")
     add_png_data_dir_arg(parser)
     add_resume_arg(parser)
     add_infra_args(parser)
@@ -88,7 +94,46 @@ def main(argv=None):
         logger.log(metrics, step=epoch)
 
     mesh = resolve_mesh(config, extra_batch_sizes=(config["batch_sizeL"],))
-    if config["eager"]:
+    if config["online"]:
+        # infinite unlabeled DR stream (spurious background included):
+        # fresh device DGP draw per step; fixed labeled set subsampled on
+        # device (train/online.py)
+        # (no label_normalization guard, unlike supervised dr_main
+        # --online: the online stream's generated labels are DISCARDED
+        # here — alignment reads the labeled dataset's own y)
+        if config["eager"] or config.get("data_dir"):
+            raise SystemExit("--online supports the scanned path on the "
+                             "synthetic DGP only")
+        from ..train.online import (make_online_scanned_steps_semi,
+                                    make_sharded_online_scanned_steps_semi,
+                                    dr_batch_fn)
+        steps_per_epoch = max(len(x_u) // config["batch_size"], 1)
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+            from .common import _shard_over_dp
+            x_l, y_l = _shard_over_dp(mesh, (x_l, y_l))
+            state = replicate(mesh, state)
+            run = make_sharded_online_scanned_steps_semi(
+                model, optimizer, config["beta"], config["lambda"], mesh,
+                config["batch_size"], min(config["batch_sizeL"], len(x_l)),
+                steps_per_epoch,
+                sample_batch_builder=lambda bs: dr_batch_fn(
+                    bs, config["image_size"], norm_seed=config["seed"]))
+        else:
+            run = make_online_scanned_steps_semi(
+                model, optimizer, config["beta"], config["lambda"],
+                config["batch_size"], min(config["batch_sizeL"], len(x_l)),
+                steps_per_epoch,
+                sample_batch=dr_batch_fn(config["batch_size"],
+                                         config["image_size"],
+                                         norm_seed=config["seed"]))
+        for epoch in range(start_epoch, config["epochs"]):
+            p, o, ms = run(state[0], state[1], x_l, y_l, k_train,
+                           epoch * steps_per_epoch)
+            state = (p, o)
+            on_epoch(epoch, {k: float(np.mean(np.asarray(v)))
+                             for k, v in ms.items()})
+    elif config["eager"]:
         step = make_semi_step(model, optimizer, config["beta"],
                               config["lambda"], mesh=mesh)
         shuffle_rng = np.random.default_rng(config["seed"] + start_epoch)

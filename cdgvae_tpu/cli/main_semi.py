@@ -45,6 +45,16 @@ def get_args(debug: bool = False, argv=None):
     parser.add_argument("--lr", default=0.001, type=float)
     parser.add_argument("--beta", default=0.1, type=float)
     parser.add_argument("--lambda", default=5, type=float)
+    parser.add_argument("--online", action="store_true",
+                        help="infinite unlabeled stream: every step draws "
+                             "a FRESH unlabeled batch from the device-side "
+                             "DGP+rasterizer inside the compiled scan, "
+                             "while the small labeled set stays fixed "
+                             "(subsampled on device per step) — the "
+                             "semi-supervised premise (labels expensive, "
+                             "unlabeled data cheap) realized exactly. "
+                             "Composes with --dp (per-device draws + "
+                             "labeled shards, one gradient pmean per step)")
     add_png_data_dir_arg(parser)
     add_resume_arg(parser)
     add_infra_args(parser)
@@ -90,7 +100,38 @@ def main(argv=None):
         logger.log(metrics, step=epoch)
 
     mesh = resolve_mesh(config, extra_batch_sizes=(config["batch_sizeL"],))
-    if config["eager"]:
+    if config["online"]:
+        # infinite unlabeled stream: fresh DGP draw per step inside the
+        # scan; fixed labeled set subsampled on device (train/online.py)
+        if config["eager"] or config.get("data_dir"):
+            raise SystemExit("--online supports the scanned path on the "
+                             "synthetic DGP only")
+        from ..train.online import (make_online_scanned_steps_semi,
+                                    make_sharded_online_scanned_steps_semi)
+        steps_per_epoch = max(len(x_u) // config["batch_size"], 1)
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+            from .common import _shard_over_dp
+            x_l, y_l = _shard_over_dp(mesh, (x_l, y_l))
+            state = replicate(mesh, state)
+            run = make_sharded_online_scanned_steps_semi(
+                model, optimizer, config["beta"], config["lambda"], mesh,
+                config["batch_size"], min(config["batch_sizeL"], len(x_l)),
+                steps_per_epoch, image_size=config["image_size"],
+                norm_seed=config["seed"])
+        else:
+            run = make_online_scanned_steps_semi(
+                model, optimizer, config["beta"], config["lambda"],
+                config["batch_size"], min(config["batch_sizeL"], len(x_l)),
+                steps_per_epoch, image_size=config["image_size"],
+                norm_seed=config["seed"])
+        for epoch in range(start_epoch, config["epochs"]):
+            p, o, ms = run(state[0], state[1], x_l, y_l, k_train,
+                           epoch * steps_per_epoch)
+            state = (p, o)
+            on_epoch(epoch, {k: float(np.mean(np.asarray(v)))
+                             for k, v in ms.items()})
+    elif config["eager"]:
         # the reference's exact per-batch protocol (partial batches
         # dropped only when a mesh requires fixed per-device shapes)
         step = make_semi_step(model, optimizer, config["beta"],

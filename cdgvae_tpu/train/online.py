@@ -16,6 +16,7 @@ the alignment targets match the fixed-dataset protocol).
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Callable
 
 import numpy as np
@@ -28,6 +29,7 @@ from ..data.pendulum import (shadow_physics, sample_factors_real,
 from ..data.pendulum_dr import sample_factors_dr
 from ..ops.renderer import render
 from .scanned import make_supervised_loss_fn
+from .steps import make_semi_loss_fn
 
 
 def sample_factors_device(rng: jax.Array, n: int) -> jax.Array:
@@ -147,6 +149,123 @@ def dr_batch_fn(batch_size: int, image_size: int = 64,
         y4 = ((f[:, :4] - mu4) - mn) / (mx - mn)
         return x, jnp.concatenate([y4, f[:, 4:]], axis=1)
     return sample
+
+
+def make_online_scanned_steps_semi(model, optimizer, beta: float,
+                                   lam: float, batch_size: int,
+                                   batch_size_l: int, n_steps_per_call: int,
+                                   image_size: int = 64, norm_seed: int = 1,
+                                   sample_batch: Callable | None = None
+                                   ) -> Callable:
+    """Online SEMI-SUPERVISED training: the reference's semi-sup premise —
+    labels are expensive, unlabeled data is cheap (main_semi.py,
+    modules/train.py:211-282) — realized exactly: the unlabeled stream is
+    INFINITE (a fresh device DGP+rasterizer draw every step, labels
+    discarded) while the small labeled set stays fixed and device-resident,
+    a random ``batch_size_l``-subset drawn per step (the reference cycles
+    its labeled loader with reshuffle-on-exhaustion; per-step uniform
+    subsampling is the scan-friendly equivalent — same stationary batch
+    distribution, no cycle state).
+
+    ``sample_batch(rng) -> (x, y)`` defaults to the root pendulum family;
+    pass ``dr_batch_fn(batch_size, ...)`` for DR. Returns
+    ``run(params, opt_state, x_l, y_l, rng, step0) ->
+    (params, opt_state, metrics)``.
+    """
+    loss_fn = make_semi_loss_fn(model, beta, lam)
+    if sample_batch is None:
+        sample_batch = pendulum_batch_fn(batch_size, image_size, norm_seed)
+
+    def body(x_l, y_l, carry, step_idx):
+        params, opt_state, rng = carry
+        k_data, k_lab, k_step = jax.random.split(
+            jax.random.fold_in(rng, step_idx), 3)
+        x_u, _ = sample_batch(k_data)
+        idx = jax.random.choice(k_lab, x_l.shape[0], (batch_size_l,),
+                                replace=False)
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, x_u, x_l[idx], y_l[idx], k_step)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, rng), metrics
+
+    @jax.jit
+    def run(params, opt_state, x_l, y_l, rng, step0):
+        steps = step0 + jnp.arange(n_steps_per_call)
+        (params, opt_state, _), metrics = jax.lax.scan(
+            partial(body, x_l, y_l), (params, opt_state, rng), steps)
+        return params, opt_state, metrics
+
+    return run
+
+
+def make_sharded_online_scanned_steps_semi(
+        model, optimizer, beta: float, lam: float, mesh, batch_size: int,
+        batch_size_l: int, n_steps_per_call: int, image_size: int = 64,
+        norm_seed: int = 1,
+        sample_batch_builder: Callable[[int], Callable] | None = None
+        ) -> Callable:
+    """Multi-chip online semi-supervised training over the ``dp`` mesh:
+    each device draws its OWN fresh unlabeled batch (DGP+rasterizer on
+    device, keys folded per step and per device) and subsamples its OWN
+    shard of the labeled set (per-shard labeled sampling, matching the
+    sharded fixed-data semi trainer's per-shard deviation,
+    scanned.make_sharded_scanned_epochs_semi_from_loss); one gradient
+    pmean per step over ICI. Both batch sizes split D ways.
+
+    Returns ``run(params, opt_state, x_l_sharded, y_l_sharded, rng, step0)``
+    (params/opt replicated, labeled arrays sharded over ``dp``).
+    """
+    from jax.sharding import PartitionSpec as P
+    from .scanned import _resolve_shard_map
+
+    loss_fn = make_semi_loss_fn(model, beta, lam)
+    shard_map = _resolve_shard_map()
+    n_dev = mesh.devices.size
+    for name, bs in (("batch_size", batch_size),
+                     ("batch_sizeL", batch_size_l)):
+        if bs % n_dev:
+            raise ValueError(f"{name} {bs} not divisible by {n_dev} devices")
+    local_bs_l = batch_size_l // n_dev
+    if sample_batch_builder is None:
+        def sample_batch_builder(bs):
+            return pendulum_batch_fn(bs, image_size, norm_seed)
+    sample_batch = sample_batch_builder(batch_size // n_dev)
+
+    def device_body(params, opt_state, xl_loc, yl_loc, rng, step0):
+        n_l = xl_loc.shape[0]
+        if n_l < local_bs_l:
+            raise ValueError(f"labeled shard ({n_l}) smaller than "
+                             f"per-device labeled batch ({local_bs_l})")
+        dev = jax.lax.axis_index("dp")
+
+        def body(carry, step_idx):
+            params, opt_state = carry
+            k_data, k_lab, k_step = jax.random.split(jax.random.fold_in(
+                jax.random.fold_in(rng, step_idx), dev), 3)
+            x_u, _ = sample_batch(k_data)
+            idx = jax.random.choice(k_lab, n_l, (local_bs_l,),
+                                    replace=False)
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, x_u, xl_loc[idx],
+                                       yl_loc[idx], k_step)
+            grads = jax.lax.pmean(grads, "dp")
+            metrics = jax.lax.pmean(metrics, "dp")
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), metrics
+
+        steps = step0 + jnp.arange(n_steps_per_call)
+        (params, opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state), steps)
+        return params, opt_state, metrics
+
+    rep = P()
+    sharded = P("dp")
+    run = shard_map(device_body, mesh,
+                    in_specs=(rep, rep, sharded, sharded, rep, rep),
+                    out_specs=(rep, rep, rep))
+    return jax.jit(run, donate_argnums=(0, 1))
 
 
 def make_sharded_online_scanned_steps(

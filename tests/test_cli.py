@@ -211,6 +211,30 @@ def test_dr_online_dp_mesh_scanned(workdir):
                                        "state.pkl"))
 
 
+def test_semi_online(workdir):
+    """main_semi --online: infinite unlabeled stream from the device DGP,
+    fixed labeled subset subsampled on device per step."""
+    from cdgvae_tpu.cli import main_semi
+    out = os.path.join(workdir, "semi_online")
+    main_semi.main(SMALL + ["--epochs", "2", "--batch_size", "16",
+                            "--batch_sizeL", "8", "--online",
+                            "--assets_dir", out])
+    assert os.path.exists(os.path.join(out, "model_CDGVAEsemi_nonlinear",
+                                       "state.pkl"))
+
+
+def test_dr_semi_online_dp_mesh_scanned(workdir):
+    """dr_main_semi --online --dp 8: per-device DR DGP draws + per-shard
+    labeled subsampling."""
+    from cdgvae_tpu.cli import dr_main_semi
+    out = os.path.join(workdir, "dr_semi_online_dp")
+    dr_main_semi.main(SMALL + ["--epochs", "2", "--batch_size", "16",
+                               "--batch_sizeL", "8", "--dp", "8",
+                               "--online", "--assets_dir", out])
+    assert os.path.exists(os.path.join(
+        out, "model_DR_CDGVAEsemi_nonlinear", "state.pkl"))
+
+
 def test_tabular_dp_mesh_scanned(workdir):
     """Tabular family under --dp: shard_map scanned trainer with the
     dataset-specific loss."""

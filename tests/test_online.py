@@ -165,6 +165,57 @@ def test_dr_sharded_online_trains():
     assert np.all(np.isfinite(losses)) and losses[-1] < losses[0]
 
 
+def test_online_semi_scanned_steps_train_and_are_deterministic():
+    """Online semi-sup: infinite unlabeled stream (fresh DGP draw per
+    step), fixed labeled set subsampled on device per step."""
+    from cdgvae_tpu.data.pendulum import PendulumDataset
+    from cdgvae_tpu.train.online import make_online_scanned_steps_semi
+    model, _ = build_pendulum_model(CFG)
+    params = model.init(jax.random.key(0))
+    opt = optax.adam(1e-3)
+    ds = PendulumDataset(image_size=16, train=True, labeled_ratio=0.5,
+                         seed=1, n=200)
+    x_l, y_l = jax.numpy.asarray(ds.x_data), jax.numpy.asarray(ds.y_data)
+    run = make_online_scanned_steps_semi(
+        model, opt, beta=0.1, lam=5.0, batch_size=16, batch_size_l=8,
+        n_steps_per_call=6, image_size=16)
+    p1, o1, m1 = run(params, opt.init(params), x_l, y_l,
+                     jax.random.key(1), 0)
+    losses = np.asarray(m1["loss"])
+    assert np.all(np.isfinite(losses))
+    _, _, m2 = run(p1, o1, x_l, y_l, jax.random.key(1), 6)
+    assert float(np.asarray(m2["loss"]).mean()) < losses[0]
+    _, _, m1b = run(params, opt.init(params), x_l, y_l,
+                    jax.random.key(1), 0)
+    np.testing.assert_array_equal(losses, np.asarray(m1b["loss"]))
+
+
+def test_sharded_online_semi_trains():
+    """Multi-chip online semi-sup: per-device unlabeled DGP draws +
+    per-shard labeled subsampling, one gradient pmean per step."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from cdgvae_tpu.data.pendulum import PendulumDataset
+    from cdgvae_tpu.parallel.mesh import make_mesh, replicate
+    from cdgvae_tpu.train.online import make_sharded_online_scanned_steps_semi
+    model, _ = build_pendulum_model(CFG)
+    params = model.init(jax.random.key(0))
+    opt = optax.adam(1e-3)
+    mesh = make_mesh(8)
+    ds = PendulumDataset(image_size=16, train=True, labeled_ratio=0.5,
+                         seed=1, n=200)
+    n_l = (len(ds.x_data) // 8) * 8
+    sh = NamedSharding(mesh, P("dp"))
+    x_l = jax.device_put(ds.x_data[:n_l], sh)
+    y_l = jax.device_put(ds.y_data[:n_l], sh)
+    run = make_sharded_online_scanned_steps_semi(
+        model, opt, beta=0.1, lam=5.0, mesh=mesh, batch_size=16,
+        batch_size_l=8, n_steps_per_call=5, image_size=16)
+    _, _, m = run(replicate(mesh, params), replicate(mesh, opt.init(params)),
+                  x_l, y_l, jax.random.key(1), 0)
+    losses = np.asarray(m["loss"])
+    assert np.all(np.isfinite(losses)) and losses[-1] < losses[0]
+
+
 def test_label_norm_stats_match_dataset_protocol():
     """The frozen constants reproduce the fixed-dataset normalization on
     the dataset's own draw (modules/datasets.py:31-37)."""
