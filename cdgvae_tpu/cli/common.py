@@ -159,8 +159,77 @@ def _shard_over_dp(mesh, arrays):
             raise ValueError(
                 f"dataset ({len(a)} rows) smaller than the device count "
                 f"({n_dev}); use fewer devices (--dp) or more data")
+        if n != len(a):
+            print(f"[dp] dropping {len(a) - n} of {len(a)} rows to shard "
+                  f"evenly over {n_dev} devices")
         out.append(jax.device_put(a[:n], sh))
     return out
+
+
+def run_online_training(config, *, model, optimizer, state, k_train, mesh,
+                        start_epoch, on_epoch, sample_batch_builder,
+                        labeled=None, post_epoch=None,
+                        post_epoch_pred=None):
+    """Shared ``--online`` (fresh-data-per-step) training driver for the
+    image-family CLIs (main, dr_main, main_semi, dr_main_semi): picks the
+    right ``train/online.py`` maker for (supervised | semi) ×
+    (single-device | dp mesh) and drives one dispatch per epoch-equivalent
+    (the reference protocol's steps-per-epoch, derived from the DGP's
+    train-split size — no dataset needs to be materialized).
+
+    ``sample_batch_builder(batch_size) -> sample_batch`` supplies the
+    family's device DGP+rasterizer. ``labeled=(x_l, y_l)`` switches to
+    the semi-supervised trainers (arrays sharded over dp under a mesh;
+    ``batch_sizeL`` clamped to the available rows). Returns the final
+    ``(params, opt_state)``.
+    """
+    import numpy as np
+
+    from ..parallel.mesh import replicate
+    from ..train.online import (
+        make_online_scanned_steps, make_sharded_online_scanned_steps,
+        make_online_scanned_steps_semi,
+        make_sharded_online_scanned_steps_semi, train_split_size)
+
+    beta, lam = config["beta"], config["lambda"]
+    bs = config["batch_size"]
+    steps_per_epoch = max(train_split_size(config["n_samples"]) // bs, 1)
+    semi = labeled is not None
+    x_l = y_l = None
+    if mesh is not None:
+        state = replicate(mesh, state)
+        if semi:
+            x_l, y_l = _shard_over_dp(mesh, labeled)
+            run = make_sharded_online_scanned_steps_semi(
+                model, optimizer, beta, lam, mesh, bs,
+                min(config["batch_sizeL"], len(x_l)), steps_per_epoch,
+                sample_batch_builder=sample_batch_builder)
+        else:
+            run = make_sharded_online_scanned_steps(
+                model, optimizer, beta, lam, mesh, bs, steps_per_epoch,
+                sample_batch_builder=sample_batch_builder)
+    elif semi:
+        x_l, y_l = labeled
+        run = make_online_scanned_steps_semi(
+            model, optimizer, beta, lam, bs,
+            min(config["batch_sizeL"], len(x_l)), steps_per_epoch,
+            sample_batch=sample_batch_builder(bs))
+    else:
+        run = make_online_scanned_steps(
+            model, optimizer, beta, lam, bs, steps_per_epoch,
+            sample_batch=sample_batch_builder(bs))
+
+    for epoch in range(start_epoch, config["epochs"]):
+        extra = (x_l, y_l) if semi else ()
+        p, o, ms = run(state[0], state[1], *extra, k_train,
+                       epoch * steps_per_epoch)
+        state = (p, o)
+        on_epoch(epoch, {k: float(np.mean(np.asarray(v)))
+                         for k, v in ms.items()})
+        if post_epoch is not None and (post_epoch_pred is None
+                                       or post_epoch_pred(epoch)):
+            post_epoch(state, epoch)
+    return state
 
 
 def sharded_scan_setup(mesh, x_data, y_data, loss_fn, optimizer,

@@ -67,14 +67,26 @@ def main(argv=None):
                           use_wandb=config["wandb"], tags=["VAEBased", "DR"],
                           config=config)
 
-    dataset = PendulumDRDataset(
-        data_dir=config.get("data_dir") or None,
-        image_size=config["image_size"], train=True,
-        labeled_ratio=config["labeled_ratio"],
-        label_normalization=config["label_normalization"],
-        seed=config["seed"], n=config["n_samples"])
-    x_data = jax.device_put(dataset.x_data)
-    y_data = jax.device_put(dataset.y_data)
+    if config["online"]:
+        # no dataset: --online draws every batch from the device DR DGP
+        # (no label_normalization=False support — the online stream's
+        # labels use the frozen normalization constants)
+        if config["model"] == "InfoMax" or config["eager"] or \
+                config.get("data_dir") or config["labeled_ratio"] < 1 or \
+                not config["label_normalization"]:
+            raise SystemExit("--online supports the VAE/CDGVAE "
+                             "scanned path with full labels "
+                             "and label_normalization only")
+        x_data = y_data = None
+    else:
+        dataset = PendulumDRDataset(
+            data_dir=config.get("data_dir") or None,
+            image_size=config["image_size"], train=True,
+            labeled_ratio=config["labeled_ratio"],
+            label_normalization=config["label_normalization"],
+            seed=config["seed"], n=config["n_samples"])
+        x_data = jax.device_put(dataset.x_data)
+        y_data = jax.device_put(dataset.y_data)
 
     model, discriminator = build_pendulum_model(config, spurious=True)
     key = jax.random.key(config["seed"])
@@ -101,7 +113,14 @@ def main(argv=None):
     shuffle_rng = np.random.default_rng(config["seed"] + start_epoch)
     os.makedirs(config["assets_dir"], exist_ok=True)
     viz_fwd = jax.jit(lambda p, x, r: model(p, x, rng=r).xhat)
-    x_viz = x_data[:9]
+    if config["online"]:
+        from ..train.online import dr_batch_fn
+        _sample_builder = lambda bs: dr_batch_fn(  # noqa: E731
+            bs, config["image_size"], norm_seed=config["seed"])
+        x_viz = jax.jit(_sample_builder(9))(
+            jax.random.fold_in(k_train, 2**29))[0]
+    else:
+        x_viz = x_data[:9]
 
     def on_epoch(epoch, metrics):
         print(format_epoch(epoch, metrics))
@@ -117,42 +136,14 @@ def main(argv=None):
     if config["online"]:
         # fresh-data-per-step on the DR DGP (cli.main --online analog):
         # DGP draw + blue-background rasterization + train step in one
-        # compiled scan, one dispatch per epoch-equivalent
-        if config["model"] == "InfoMax" or config["eager"] or \
-                config.get("data_dir") or \
-                config["labeled_ratio"] < 1 or \
-                not config["label_normalization"]:
-            raise SystemExit("--online supports the VAE/CDGVAE "
-                             "scanned path with full labels "
-                             "and label_normalization only")
-        from ..train.online import (make_online_scanned_steps,
-                                    make_sharded_online_scanned_steps,
-                                    dr_batch_fn)
-        steps_per_epoch = len(x_data) // config["batch_size"]
-        if mesh is not None:
-            # multi-chip online on the DR DGP: per-device draws (incl. the
-            # spurious background), one gradient pmean per step
-            from ..parallel.mesh import replicate
-            state = replicate(mesh, state)
-            run = make_sharded_online_scanned_steps(
-                model, optimizer, config["beta"], config["lambda"], mesh,
-                config["batch_size"], n_steps_per_call=steps_per_epoch,
-                sample_batch_builder=lambda bs: dr_batch_fn(
-                    bs, config["image_size"], norm_seed=config["seed"]))
-        else:
-            run = make_online_scanned_steps(
-                model, optimizer, config["beta"], config["lambda"],
-                config["batch_size"], n_steps_per_call=steps_per_epoch,
-                sample_batch=dr_batch_fn(config["batch_size"],
-                                         config["image_size"],
-                                         norm_seed=config["seed"]))
-        for epoch in range(start_epoch, config["epochs"]):
-            p, o, ms = run(state[0], state[1], k_train,
-                           epoch * steps_per_epoch)
-            state = (p, o)
-            on_epoch(epoch, {k: float(np.mean(np.asarray(v)))
-                             for k, v in ms.items()})
-            post_epoch(state, epoch)
+        # compiled scan, one dispatch per epoch-equivalent; under --dp
+        # every device runs its own DGP with one gradient pmean per step
+        from .common import run_online_training
+        state = run_online_training(
+            config, model=model, optimizer=optimizer, state=state,
+            k_train=k_train, mesh=mesh, start_epoch=start_epoch,
+            on_epoch=on_epoch, sample_batch_builder=_sample_builder,
+            post_epoch=post_epoch, post_epoch_pred=lambda e: e % 10 == 0)
     elif config["model"] != "InfoMax" and not config["eager"]:
         # scanned trainer; --dp swaps in the shard_map trainer (same
         # wiring as cli.main — DR uses the identical supervised loss)

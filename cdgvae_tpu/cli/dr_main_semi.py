@@ -70,14 +70,22 @@ def main(argv=None):
         labeled_ratio=config["labeled_ratio"],
         label_normalization=config["label_normalization"],
         seed=config["seed"], n=config["n_samples"])
-    unlabeled = PendulumDRDataset(
-        data_dir=config.get("data_dir") or None,
-        image_size=config["image_size"], train=True, seed=config["seed"],
-        n=config["n_samples"])
-
-    x_u = jax.device_put(unlabeled.x_data)
     x_l = jax.device_put(labeled.x_data)
     y_l = jax.device_put(labeled.y_data)
+    if config["online"]:
+        # the unlabeled stream is the device DR DGP — no unlabeled
+        # dataset (its generated labels are DISCARDED: alignment reads
+        # the labeled dataset's own y, so label_normalization is free)
+        if config["eager"] or config.get("data_dir"):
+            raise SystemExit("--online supports the scanned path on the "
+                             "synthetic DGP only")
+        x_u = None
+    else:
+        unlabeled = PendulumDRDataset(
+            data_dir=config.get("data_dir") or None,
+            image_size=config["image_size"], train=True,
+            seed=config["seed"], n=config["n_samples"])
+        x_u = jax.device_put(unlabeled.x_data)
 
     model, _ = build_pendulum_model(config, spurious=True)
     key = jax.random.key(config["seed"])
@@ -98,41 +106,15 @@ def main(argv=None):
         # infinite unlabeled DR stream (spurious background included):
         # fresh device DGP draw per step; fixed labeled set subsampled on
         # device (train/online.py)
-        # (no label_normalization guard, unlike supervised dr_main
-        # --online: the online stream's generated labels are DISCARDED
-        # here — alignment reads the labeled dataset's own y)
-        if config["eager"] or config.get("data_dir"):
-            raise SystemExit("--online supports the scanned path on the "
-                             "synthetic DGP only")
-        from ..train.online import (make_online_scanned_steps_semi,
-                                    make_sharded_online_scanned_steps_semi,
-                                    dr_batch_fn)
-        steps_per_epoch = max(len(x_u) // config["batch_size"], 1)
-        if mesh is not None:
-            from ..parallel.mesh import replicate
-            from .common import _shard_over_dp
-            x_l, y_l = _shard_over_dp(mesh, (x_l, y_l))
-            state = replicate(mesh, state)
-            run = make_sharded_online_scanned_steps_semi(
-                model, optimizer, config["beta"], config["lambda"], mesh,
-                config["batch_size"], min(config["batch_sizeL"], len(x_l)),
-                steps_per_epoch,
-                sample_batch_builder=lambda bs: dr_batch_fn(
-                    bs, config["image_size"], norm_seed=config["seed"]))
-        else:
-            run = make_online_scanned_steps_semi(
-                model, optimizer, config["beta"], config["lambda"],
-                config["batch_size"], min(config["batch_sizeL"], len(x_l)),
-                steps_per_epoch,
-                sample_batch=dr_batch_fn(config["batch_size"],
-                                         config["image_size"],
-                                         norm_seed=config["seed"]))
-        for epoch in range(start_epoch, config["epochs"]):
-            p, o, ms = run(state[0], state[1], x_l, y_l, k_train,
-                           epoch * steps_per_epoch)
-            state = (p, o)
-            on_epoch(epoch, {k: float(np.mean(np.asarray(v)))
-                             for k, v in ms.items()})
+        from ..train.online import dr_batch_fn
+        from .common import run_online_training
+        state = run_online_training(
+            config, model=model, optimizer=optimizer, state=state,
+            k_train=k_train, mesh=mesh, start_epoch=start_epoch,
+            on_epoch=on_epoch,
+            sample_batch_builder=lambda bs: dr_batch_fn(
+                bs, config["image_size"], norm_seed=config["seed"]),
+            labeled=(x_l, y_l))
     elif config["eager"]:
         step = make_semi_step(model, optimizer, config["beta"],
                               config["lambda"], mesh=mesh)

@@ -104,14 +104,23 @@ def main(argv=None):
                           use_wandb=config["wandb"], tags=["VAEBased"],
                           config=config)
 
-    dataset = PendulumDataset(
-        data_dir=config.get("data_dir") or None,
-        image_size=config["image_size"], train=True,
-        labeled_ratio=config["labeled_ratio"],
-        label_normalization=config["label_normalization"],
-        seed=config["seed"], n=config["n_samples"])
-    x_data = jax.device_put(dataset.x_data)
-    y_data = jax.device_put(dataset.y_data)
+    if config["online"]:
+        # no dataset at all: --online draws every batch from the device
+        # DGP; the viz batch below comes from the same device draw
+        if config["model"] == "InfoMax" or config["eager"] or \
+                config.get("data_dir"):
+            raise SystemExit("--online supports the VAE/CDGVAE "
+                             "scanned path only")
+        x_data = y_data = None
+    else:
+        dataset = PendulumDataset(
+            data_dir=config.get("data_dir") or None,
+            image_size=config["image_size"], train=True,
+            labeled_ratio=config["labeled_ratio"],
+            label_normalization=config["label_normalization"],
+            seed=config["seed"], n=config["n_samples"])
+        x_data = jax.device_put(dataset.x_data)
+        y_data = jax.device_put(dataset.y_data)
 
     model, discriminator = build_pendulum_model(config)
     key = jax.random.key(config["seed"])
@@ -144,8 +153,16 @@ def main(argv=None):
     _viz = _make_viz_forward(model)
     # fixed viz slice: lets the --dp paths release the full unsharded
     # dataset (the sharded copy is the training copy); same compiled shape
-    # every call
-    x_viz = x_data[:min(config["batch_size"], len(x_data))]
+    # every call. Under --online there is no dataset — the viz batch is
+    # one jitted draw from the same device DGP the trainer uses.
+    if config["online"]:
+        from ..train.online import pendulum_batch_fn
+        _sample_builder = lambda bs: pendulum_batch_fn(  # noqa: E731
+            bs, config["image_size"], norm_seed=config["seed"])
+        x_viz = jax.jit(_sample_builder(config["batch_size"]))(
+            jax.random.fold_in(k_train, 2**29))[0]
+    else:
+        x_viz = x_data[:min(config["batch_size"], len(x_data))]
 
     def _ckpt_due(epoch):
         return (epoch + 1) % 25 == 0 and epoch + 1 < config["epochs"]
@@ -182,37 +199,14 @@ def main(argv=None):
     if config["online"]:
         # fresh-data-per-step: DGP draw + rasterization + train step all
         # inside one compiled scan (train/online.py) — one dispatch per
-        # epoch-equivalent (len(train split) // batch steps, matching the
-        # fixed-dataset protocol's step count)
-        if config["model"] == "InfoMax" or config["eager"] or \
-                config.get("data_dir"):
-            raise SystemExit("--online supports the VAE/CDGVAE "
-                             "scanned path only")
-        from ..train.online import (make_online_scanned_steps,
-                                    make_sharded_online_scanned_steps)
-        steps_per_epoch = len(x_data) // config["batch_size"]
-        if mesh is not None:
-            # multi-chip online: each device runs its own DGP+rasterizer
-            # (no host data path at all), one gradient pmean per step
-            from ..parallel.mesh import replicate
-            state = replicate(mesh, state)
-            run = make_sharded_online_scanned_steps(
-                model, optimizer, config["beta"], config["lambda"], mesh,
-                config["batch_size"], n_steps_per_call=steps_per_epoch,
-                image_size=config["image_size"], norm_seed=config["seed"])
-        else:
-            run = make_online_scanned_steps(
-                model, optimizer, config["beta"], config["lambda"],
-                config["batch_size"], n_steps_per_call=steps_per_epoch,
-                image_size=config["image_size"], norm_seed=config["seed"])
-        for epoch in range(start_epoch, config["epochs"]):
-            p, o, ms = run(state[0], state[1], k_train,
-                           epoch * steps_per_epoch)
-            state = (p, o)
-            _on_epoch(epoch, {k: float(np.mean(np.asarray(v)))
-                              for k, v in ms.items()})
-            if pred(epoch):
-                _post_epoch(state, epoch)
+        # epoch-equivalent (reference-protocol step count); under --dp
+        # every device runs its own DGP with one gradient pmean per step
+        from .common import run_online_training
+        state = run_online_training(
+            config, model=model, optimizer=optimizer, state=state,
+            k_train=k_train, mesh=mesh, start_epoch=start_epoch,
+            on_epoch=_on_epoch, sample_batch_builder=_sample_builder,
+            post_epoch=_post_epoch, post_epoch_pred=pred)
     elif config["model"] != "InfoMax" and not config["eager"]:
         # scan-compiled trainer: one device dispatch per <=5-epoch chunk
         # (the reference protocol dispatches per batch — ~5800 host round

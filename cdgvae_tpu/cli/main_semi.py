@@ -76,14 +76,20 @@ def main(argv=None):
         labeled_ratio=config["labeled_ratio"],
         label_normalization=config["label_normalization"],
         seed=config["seed"], n=config["n_samples"])
-    unlabeled = PendulumDataset(
-        data_dir=config.get("data_dir") or None,
-        image_size=config["image_size"], train=True, seed=config["seed"],
-        n=config["n_samples"])
-
-    x_u = jax.device_put(unlabeled.x_data)
     x_l = jax.device_put(labeled.x_data)
     y_l = jax.device_put(labeled.y_data)
+    if config["online"]:
+        # the unlabeled stream is the device DGP — no unlabeled dataset
+        if config["eager"] or config.get("data_dir"):
+            raise SystemExit("--online supports the scanned path on the "
+                             "synthetic DGP only")
+        x_u = None
+    else:
+        unlabeled = PendulumDataset(
+            data_dir=config.get("data_dir") or None,
+            image_size=config["image_size"], train=True,
+            seed=config["seed"], n=config["n_samples"])
+        x_u = jax.device_put(unlabeled.x_data)
 
     model, _ = build_pendulum_model(config)
     key = jax.random.key(config["seed"])
@@ -103,34 +109,15 @@ def main(argv=None):
     if config["online"]:
         # infinite unlabeled stream: fresh DGP draw per step inside the
         # scan; fixed labeled set subsampled on device (train/online.py)
-        if config["eager"] or config.get("data_dir"):
-            raise SystemExit("--online supports the scanned path on the "
-                             "synthetic DGP only")
-        from ..train.online import (make_online_scanned_steps_semi,
-                                    make_sharded_online_scanned_steps_semi)
-        steps_per_epoch = max(len(x_u) // config["batch_size"], 1)
-        if mesh is not None:
-            from ..parallel.mesh import replicate
-            from .common import _shard_over_dp
-            x_l, y_l = _shard_over_dp(mesh, (x_l, y_l))
-            state = replicate(mesh, state)
-            run = make_sharded_online_scanned_steps_semi(
-                model, optimizer, config["beta"], config["lambda"], mesh,
-                config["batch_size"], min(config["batch_sizeL"], len(x_l)),
-                steps_per_epoch, image_size=config["image_size"],
-                norm_seed=config["seed"])
-        else:
-            run = make_online_scanned_steps_semi(
-                model, optimizer, config["beta"], config["lambda"],
-                config["batch_size"], min(config["batch_sizeL"], len(x_l)),
-                steps_per_epoch, image_size=config["image_size"],
-                norm_seed=config["seed"])
-        for epoch in range(start_epoch, config["epochs"]):
-            p, o, ms = run(state[0], state[1], x_l, y_l, k_train,
-                           epoch * steps_per_epoch)
-            state = (p, o)
-            on_epoch(epoch, {k: float(np.mean(np.asarray(v)))
-                             for k, v in ms.items()})
+        from ..train.online import pendulum_batch_fn
+        from .common import run_online_training
+        _sample_builder = lambda bs: pendulum_batch_fn(  # noqa: E731
+            bs, config["image_size"], norm_seed=config["seed"])
+        state = run_online_training(
+            config, model=model, optimizer=optimizer, state=state,
+            k_train=k_train, mesh=mesh, start_epoch=start_epoch,
+            on_epoch=on_epoch, sample_batch_builder=_sample_builder,
+            labeled=(x_l, y_l))
     elif config["eager"]:
         # the reference's exact per-batch protocol (partial batches
         # dropped only when a mesh requires fixed per-device shapes)
@@ -159,7 +146,10 @@ def main(argv=None):
             on_epoch=on_epoch)
 
     viz = jax.jit(lambda p, x, r: model(p, x, rng=r).xhat)
-    xhat = viz(state[0], x_u[:9], jax.random.fold_in(k_train, 2**31))
+    # under --online there is no unlabeled dataset — viz a fresh draw
+    x_viz = x_u[:9] if x_u is not None else jax.jit(_sample_builder(9))(
+        jax.random.fold_in(k_train, 2**29))[0]
+    xhat = viz(state[0], x_viz, jax.random.fold_in(k_train, 2**31))
     viz_recon_grid(np.asarray(xhat), f"{config['assets_dir']}/recon.png")
 
     ckpt = os.path.join(config["assets_dir"],

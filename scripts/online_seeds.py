@@ -33,7 +33,8 @@ import optax  # noqa: E402
 
 from cdgvae_tpu.factory import build_pendulum_model  # noqa: E402
 from cdgvae_tpu.data.pendulum import PendulumDataset  # noqa: E402
-from cdgvae_tpu.train.online import make_online_scanned_steps  # noqa: E402
+from cdgvae_tpu.train.online import (make_online_scanned_steps,  # noqa: E402
+                                     make_online_scanned_steps_semi)
 from cdgvae_tpu.train.scanned import make_scanned_epochs  # noqa: E402
 from cdgvae_tpu.cli.main_classifier import classifier_masks  # noqa: E402
 from cdgvae_tpu.models.classifier import FactorClassifier  # noqa: E402
@@ -53,7 +54,7 @@ def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
-def run_seed(seed: int, scm: str):
+def run_seed(seed: int, scm: str, semi: bool = False):
     CONFIG["scm"] = scm
     ds = PendulumDataset(image_size=64, train=True, seed=seed)
     x = jax.device_put(ds.x_data)
@@ -63,14 +64,30 @@ def run_seed(seed: int, scm: str):
     params = model.init(jax.random.key(seed))
     opt = optax.adam(CONFIG["lr"])
     steps_per_epoch = len(ds.x_data) // CONFIG["batch_size"]
-    run = make_online_scanned_steps(
-        model, opt, CONFIG["beta"], CONFIG["lambda"],
-        CONFIG["batch_size"],
-        n_steps_per_call=steps_per_epoch * CONFIG["epochs"],
-        image_size=64, norm_seed=seed)
     t0 = time.time()
-    params, _, m = run(params, opt.init(params),
-                       jax.random.key(seed + 1000), 0)
+    if semi:
+        # online semi protocol: INFINITE unlabeled stream; alignment on
+        # the seed's fixed 10%-labeled subset (batch_sizeL=32, reference
+        # main_semi.py:99), comparable to the cdm_seeds --semi study
+        lds = PendulumDataset(image_size=64, train=True,
+                              labeled_ratio=0.1, seed=seed)
+        x_l = jax.device_put(lds.x_data)
+        y_l = jax.device_put(lds.y_data)
+        run = make_online_scanned_steps_semi(
+            model, opt, CONFIG["beta"], CONFIG["lambda"],
+            CONFIG["batch_size"], batch_size_l=32,
+            n_steps_per_call=steps_per_epoch * CONFIG["epochs"],
+            image_size=64, norm_seed=seed)
+        params, _, m = run(params, opt.init(params), x_l, y_l,
+                           jax.random.key(seed + 1000), 0)
+    else:
+        run = make_online_scanned_steps(
+            model, opt, CONFIG["beta"], CONFIG["lambda"],
+            CONFIG["batch_size"],
+            n_steps_per_call=steps_per_epoch * CONFIG["epochs"],
+            image_size=64, norm_seed=seed)
+        params, _, m = run(params, opt.init(params),
+                           jax.random.key(seed + 1000), 0)
     jax.block_until_ready(m["loss"])
     loss_tail = float(np.asarray(m["loss"])[-1])
     t_train = time.time() - t0
@@ -111,17 +128,23 @@ def main():
     ap.add_argument("--seeds", type=int, default=5)
     ap.add_argument("--scm", default="linear",
                     choices=["linear", "nonlinear"])
+    ap.add_argument("--semi", action="store_true",
+                    help="online SEMI-supervised protocol: infinite "
+                         "unlabeled stream + the seed's fixed 10%%-labeled "
+                         "subset (comparable to cdm_seeds --semi)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
     if not args.out:
         suffix = "" if args.scm == "linear" else f"_{args.scm}"
+        if args.semi:
+            suffix += "_semi"
         args.out = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "docs", "results", f"online_seeds{suffix}.json")
 
     lowers, uppers = [], []
     for seed in range(1, args.seeds + 1):
-        lo, up = run_seed(seed, args.scm)
+        lo, up = run_seed(seed, args.scm, semi=args.semi)
         lowers.append(lo)
         uppers.append(up)
 
@@ -129,7 +152,7 @@ def main():
     protected_vals = np.array([uppers[:, i, j] for i, j in PROTECTED])
     out = {
         "config": {**CONFIG, "scm": args.scm, "online": True,
-                   "seeds": args.seeds},
+                   "semi": args.semi, "seeds": args.seeds},
         "lower_mean": lowers.mean(0).tolist(),
         "lower_std": lowers.std(0).tolist(),
         "upper_mean": uppers.mean(0).tolist(),

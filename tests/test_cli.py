@@ -188,6 +188,19 @@ def test_dr_dp_mesh_scanned(workdir):
                                        "state.pkl"))
 
 
+def test_main_online_single_device(workdir):
+    """cli.main --online --dp 1 pins the single-device online branch
+    (no dataset is built; viz comes from a device draw)."""
+    from cdgvae_tpu.cli import main
+    out = os.path.join(workdir, "online_1dev")
+    main.main(SMALL + ["--model", "CDGVAE", "--epochs", "2",
+                       "--batch_size", "16", "--dp", "1", "--online",
+                       "--assets_dir", out])
+    assert os.path.exists(os.path.join(out, "model_CDGVAE_linear",
+                                       "state.pkl"))
+    assert os.path.exists(os.path.join(out, "recon.png"))
+
+
 def test_main_online_dp_mesh_scanned(workdir):
     """--online --dp 8: multi-chip fresh-data-per-step training (per-device
     on-chip DGP+rasterizer, gradient pmean) writes a working checkpoint."""
@@ -213,11 +226,13 @@ def test_dr_online_dp_mesh_scanned(workdir):
 
 def test_semi_online(workdir):
     """main_semi --online: infinite unlabeled stream from the device DGP,
-    fixed labeled subset subsampled on device per step."""
+    fixed labeled subset subsampled on device per step. --dp 1 pins the
+    SINGLE-device branch (the 8-device conftest would otherwise
+    auto-activate the mesh)."""
     from cdgvae_tpu.cli import main_semi
     out = os.path.join(workdir, "semi_online")
     main_semi.main(SMALL + ["--epochs", "2", "--batch_size", "16",
-                            "--batch_sizeL", "8", "--online",
+                            "--batch_sizeL", "8", "--online", "--dp", "1",
                             "--assets_dir", out])
     assert os.path.exists(os.path.join(out, "model_CDGVAEsemi_nonlinear",
                                        "state.pkl"))

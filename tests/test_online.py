@@ -58,6 +58,32 @@ def test_online_scanned_steps_train_and_are_deterministic():
                               np.asarray(m3["loss"]))
 
 
+def test_corruption_offset_globalizes_positional_mask():
+    """The DGP's 20% shadow corruption is positional (every 5th row,
+    reference pendulum_real.py:74). ``index_offset`` shifts the mask to
+    GLOBAL row indices so sharded per-device draws keep the corruption
+    fraction device-count-independent: rows that change between offset 0
+    and offset k are exactly those whose (i+1+offset)%5 flag flips."""
+    n = 20
+    base = np.asarray(sample_factors_device(jax.random.key(3), n))
+    shift = np.asarray(sample_factors_device(jax.random.key(3), n,
+                                             index_offset=1))
+    changed = np.any(base[:, 2:4] != shift[:, 2:4], axis=1)
+    m0 = (np.arange(n) + 1) % 5 == 0
+    m1 = (np.arange(n) + 2) % 5 == 0
+    np.testing.assert_array_equal(changed, m0 | m1)
+    # physics columns (uncorrupted inputs) are identical
+    np.testing.assert_array_equal(base[:, :2], shift[:, :2])
+    # union of per-device local masks at offsets d*local_bs == the global
+    # every-5th mask, for any device count
+    for n_dev, local in [(8, 2), (4, 5), (2, 10)]:
+        masks = [(np.arange(local) + 1 + d * local) % 5 == 0
+                 for d in range(n_dev)]
+        np.testing.assert_array_equal(
+            np.concatenate(masks),
+            (np.arange(n_dev * local) + 1) % 5 == 0)
+
+
 def test_device_dr_dgp_matches_host_dgp_distribution():
     """The jnp DR DGP twin matches the host train-split DGP
     (data/pendulum_dr.py::sample_factors_dr): factor moments within
@@ -118,7 +144,7 @@ def test_sharded_online_matches_manual_composition():
         for dev in range(n_dev):
             k_data, k_step = jax.random.split(jax.random.fold_in(
                 jax.random.fold_in(rng, step), dev))
-            x, y = sample(k_data)
+            x, y = sample(k_data, dev * local_bs)
             (loss, _), g = jax.value_and_grad(
                 loss_fn, has_aux=True)(p, x, y, k_step)
             grads.append(g)
