@@ -166,58 +166,59 @@ def _shard_over_dp(mesh, arrays):
     return out
 
 
-def run_online_training(config, *, model, optimizer, state, k_train, mesh,
-                        start_epoch, on_epoch, sample_batch_builder,
+def run_online_training(config, *, loss_fn, optimizer, state, k_train,
+                        mesh, start_epoch, on_epoch, sample_batch_builder,
                         labeled=None, post_epoch=None,
                         post_epoch_pred=None):
     """Shared ``--online`` (fresh-data-per-step) training driver for the
-    image-family CLIs (main, dr_main, main_semi, dr_main_semi): picks the
-    right ``train/online.py`` maker for (supervised | semi) ×
+    image-family CLIs (main, dr_main, main_semi, dr_main_semi): wires ANY
+    loss onto ``train/online.py::make_online_run_from_loss`` for
     (single-device | dp mesh) and drives one dispatch per epoch-equivalent
     (the reference protocol's steps-per-epoch, derived from the DGP's
     train-split size — no dataset needs to be materialized).
 
-    ``sample_batch_builder(batch_size) -> sample_batch`` supplies the
-    family's device DGP+rasterizer. ``labeled=(x_l, y_l)`` switches to
-    the semi-supervised trainers (arrays sharded over dp under a mesh;
-    ``batch_sizeL`` clamped to the available rows). Returns the final
-    ``(params, opt_state)``.
+    ``loss_fn(params, x, y, rng)`` for supervised losses (incl. the
+    InfoMax pair loss over ``(params, d_params)`` with the fused
+    ``pair_infomax_optimizer``); ``labeled=(x_l, y_l)`` switches to the
+    semi-supervised shape ``loss_fn(params, x_u, x_l, y_l, rng)`` (arrays
+    sharded over dp under a mesh; ``batch_sizeL`` clamped to the
+    available rows). ``sample_batch_builder(batch_size) -> sample_batch``
+    supplies the family's device DGP+rasterizer. Returns the final
+    ``state`` (same pytree layout as passed in).
     """
     import numpy as np
 
     from ..parallel.mesh import replicate
-    from ..train.online import (
-        make_online_scanned_steps, make_sharded_online_scanned_steps,
-        make_online_scanned_steps_semi,
-        make_sharded_online_scanned_steps_semi, train_split_size)
+    from ..train.online import make_online_run_from_loss, train_split_size
 
-    beta, lam = config["beta"], config["lambda"]
     bs = config["batch_size"]
     steps_per_epoch = max(train_split_size(config["n_samples"]) // bs, 1)
     semi = labeled is not None
     x_l = y_l = None
+    kw = {}
     if mesh is not None:
+        n_dev = mesh.devices.size
+        if bs % n_dev:
+            raise ValueError(f"batch_size {bs} not divisible by "
+                             f"{n_dev} devices")
         state = replicate(mesh, state)
         if semi:
             x_l, y_l = _shard_over_dp(mesh, labeled)
-            run = make_sharded_online_scanned_steps_semi(
-                model, optimizer, beta, lam, mesh, bs,
-                min(config["batch_sizeL"], len(x_l)), steps_per_epoch,
-                sample_batch_builder=sample_batch_builder)
-        else:
-            run = make_sharded_online_scanned_steps(
-                model, optimizer, beta, lam, mesh, bs, steps_per_epoch,
-                sample_batch_builder=sample_batch_builder)
-    elif semi:
-        x_l, y_l = labeled
-        run = make_online_scanned_steps_semi(
-            model, optimizer, beta, lam, bs,
-            min(config["batch_sizeL"], len(x_l)), steps_per_epoch,
-            sample_batch=sample_batch_builder(bs))
+            bs_l = min(config["batch_sizeL"], len(x_l))
+            if bs_l % n_dev:
+                raise ValueError(f"batch_sizeL {bs_l} not divisible by "
+                                 f"{n_dev} devices")
+            kw["batch_size_l"] = bs_l // n_dev
+        local_bs = bs // n_dev
+        kw.update(mesh=mesh, local_bs=local_bs)
+        sample_batch = sample_batch_builder(local_bs)
     else:
-        run = make_online_scanned_steps(
-            model, optimizer, beta, lam, bs, steps_per_epoch,
-            sample_batch=sample_batch_builder(bs))
+        if semi:
+            x_l, y_l = labeled
+            kw["batch_size_l"] = min(config["batch_sizeL"], len(x_l))
+        sample_batch = sample_batch_builder(bs)
+    run = make_online_run_from_loss(loss_fn, optimizer, sample_batch,
+                                    steps_per_epoch, **kw)
 
     for epoch in range(start_epoch, config["epochs"]):
         extra = (x_l, y_l) if semi else ()

@@ -48,10 +48,11 @@ def get_args(debug: bool = False, argv=None):
                              "draws a new batch from the DR DGP (spurious "
                              "background included) and rasterizes it on "
                              "device inside the compiled scan "
-                             "(train/online.py::dr_batch_fn). VAE/CDGVAE "
-                             "scanned path (composes with --dp: per-device "
-                             "DGP draws, one gradient pmean per step); "
-                             "full labels, label_normalization only")
+                             "(train/online.py::dr_batch_fn). All models "
+                             "(incl. InfoMax), scanned path (composes "
+                             "with --dp: per-device DGP draws, one "
+                             "gradient pmean per step); full labels, "
+                             "label_normalization only")
     add_png_data_dir_arg(parser)
     add_resume_arg(parser)
     add_infra_args(parser)
@@ -71,7 +72,7 @@ def main(argv=None):
         # no dataset: --online draws every batch from the device DR DGP
         # (no label_normalization=False support — the online stream's
         # labels use the frozen normalization constants)
-        if config["model"] == "InfoMax" or config["eager"] or \
+        if config["eager"] or \
                 config.get("data_dir") or config["labeled_ratio"] < 1 or \
                 not config["label_normalization"]:
             raise SystemExit("--online supports the VAE/CDGVAE "
@@ -138,12 +139,35 @@ def main(argv=None):
         # DGP draw + blue-background rasterization + train step in one
         # compiled scan, one dispatch per epoch-equivalent; under --dp
         # every device runs its own DGP with one gradient pmean per step
+        from ..train.scanned import make_supervised_loss_fn
         from .common import run_online_training
-        state = run_online_training(
-            config, model=model, optimizer=optimizer, state=state,
-            k_train=k_train, mesh=mesh, start_epoch=start_epoch,
-            on_epoch=on_epoch, sample_batch_builder=_sample_builder,
-            post_epoch=post_epoch, post_epoch_pred=lambda e: e % 10 == 0)
+        if config["model"] == "InfoMax":
+            from ..train.steps import (make_infomax_loss_fn,
+                                       pair_infomax_optimizer)
+            pair = run_online_training(
+                config,
+                loss_fn=make_infomax_loss_fn(
+                    model, discriminator, config["beta"],
+                    config["lambda"], config["gamma"],
+                    marginal="roll" if mesh is not None
+                    else "permutation"),
+                optimizer=pair_infomax_optimizer(optimizer, optimizer_d),
+                state=((state[0], state[1]), (state[2], state[3])),
+                k_train=k_train, mesh=mesh, start_epoch=start_epoch,
+                on_epoch=on_epoch, sample_batch_builder=_sample_builder,
+                post_epoch=lambda s, e: post_epoch((s[0][0],), e),
+                post_epoch_pred=lambda e: e % 10 == 0)
+            state = (pair[0][0], pair[0][1], pair[1][0], pair[1][1])
+        else:
+            state = run_online_training(
+                config,
+                loss_fn=make_supervised_loss_fn(model, config["beta"],
+                                                config["lambda"]),
+                optimizer=optimizer, state=state, k_train=k_train,
+                mesh=mesh, start_epoch=start_epoch, on_epoch=on_epoch,
+                sample_batch_builder=_sample_builder,
+                post_epoch=post_epoch,
+                post_epoch_pred=lambda e: e % 10 == 0)
     elif config["model"] != "InfoMax" and not config["eager"]:
         # scanned trainer; --dp swaps in the shard_map trainer (same
         # wiring as cli.main — DR uses the identical supervised loss)

@@ -107,11 +107,14 @@ def main(argv=None):
         # fresh device DGP draw per step; fixed labeled set subsampled on
         # device (train/online.py)
         from ..train.online import dr_batch_fn
+        from ..train.steps import make_semi_loss_fn
         from .common import run_online_training
         state = run_online_training(
-            config, model=model, optimizer=optimizer, state=state,
-            k_train=k_train, mesh=mesh, start_epoch=start_epoch,
-            on_epoch=on_epoch,
+            config,
+            loss_fn=make_semi_loss_fn(model, config["beta"],
+                                      config["lambda"]),
+            optimizer=optimizer, state=state, k_train=k_train, mesh=mesh,
+            start_epoch=start_epoch, on_epoch=on_epoch,
             sample_batch_builder=lambda bs: dr_batch_fn(
                 bs, config["image_size"], norm_seed=config["seed"]),
             labeled=(x_l, y_l))

@@ -73,7 +73,8 @@ def get_args(debug: bool = False, argv=None):
                              "compiled scan (train/online.py) — infinite "
                              "data, no input pipeline; a capability the "
                              "reference's PNG pipeline cannot express. "
-                             "VAE/CDGVAE scanned path; composes with --dp "
+                             "All models (incl. InfoMax via the pair "
+                             "loss), scanned path; composes with --dp "
                              "(per-device DGP draws, one gradient pmean "
                              "per step)")
     add_png_data_dir_arg(parser)
@@ -107,10 +108,9 @@ def main(argv=None):
     if config["online"]:
         # no dataset at all: --online draws every batch from the device
         # DGP; the viz batch below comes from the same device draw
-        if config["model"] == "InfoMax" or config["eager"] or \
-                config.get("data_dir"):
-            raise SystemExit("--online supports the VAE/CDGVAE "
-                             "scanned path only")
+        if config["eager"] or config.get("data_dir"):
+            raise SystemExit("--online supports the scanned path on the "
+                             "synthetic DGP only")
         x_data = y_data = None
     else:
         dataset = PendulumDataset(
@@ -201,12 +201,37 @@ def main(argv=None):
         # inside one compiled scan (train/online.py) — one dispatch per
         # epoch-equivalent (reference-protocol step count); under --dp
         # every device runs its own DGP with one gradient pmean per step
+        from ..train.scanned import make_supervised_loss_fn
         from .common import run_online_training
-        state = run_online_training(
-            config, model=model, optimizer=optimizer, state=state,
-            k_train=k_train, mesh=mesh, start_epoch=start_epoch,
-            on_epoch=_on_epoch, sample_batch_builder=_sample_builder,
-            post_epoch=_post_epoch, post_epoch_pred=pred)
+        if config["model"] == "InfoMax":
+            # the InfoMax pair loss + fused pair optimizer ride the same
+            # online runner; marginal="roll" under a mesh (per-device
+            # batch slices, see make_infomax_loss_fn)
+            from ..train.steps import (make_infomax_loss_fn,
+                                       pair_infomax_optimizer)
+            pair = run_online_training(
+                config,
+                loss_fn=make_infomax_loss_fn(
+                    model, discriminator, config["beta"],
+                    config["lambda"], config["gamma"],
+                    marginal="roll" if mesh is not None
+                    else "permutation"),
+                optimizer=pair_infomax_optimizer(optimizer, optimizer_d),
+                state=((state[0], state[1]), (state[2], state[3])),
+                k_train=k_train, mesh=mesh, start_epoch=start_epoch,
+                on_epoch=_on_epoch, sample_batch_builder=_sample_builder,
+                post_epoch=lambda s, e: _post_epoch((s[0][0], s[1][0]), e),
+                post_epoch_pred=pred)
+            state = (pair[0][0], pair[0][1], pair[1][0], pair[1][1])
+        else:
+            state = run_online_training(
+                config,
+                loss_fn=make_supervised_loss_fn(model, config["beta"],
+                                                config["lambda"]),
+                optimizer=optimizer, state=state, k_train=k_train,
+                mesh=mesh, start_epoch=start_epoch, on_epoch=_on_epoch,
+                sample_batch_builder=_sample_builder,
+                post_epoch=_post_epoch, post_epoch_pred=pred)
     elif config["model"] != "InfoMax" and not config["eager"]:
         # scan-compiled trainer: one device dispatch per <=5-epoch chunk
         # (the reference protocol dispatches per batch — ~5800 host round

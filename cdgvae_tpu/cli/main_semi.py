@@ -110,14 +110,17 @@ def main(argv=None):
         # infinite unlabeled stream: fresh DGP draw per step inside the
         # scan; fixed labeled set subsampled on device (train/online.py)
         from ..train.online import pendulum_batch_fn
+        from ..train.steps import make_semi_loss_fn
         from .common import run_online_training
         _sample_builder = lambda bs: pendulum_batch_fn(  # noqa: E731
             bs, config["image_size"], norm_seed=config["seed"])
         state = run_online_training(
-            config, model=model, optimizer=optimizer, state=state,
-            k_train=k_train, mesh=mesh, start_epoch=start_epoch,
-            on_epoch=on_epoch, sample_batch_builder=_sample_builder,
-            labeled=(x_l, y_l))
+            config,
+            loss_fn=make_semi_loss_fn(model, config["beta"],
+                                      config["lambda"]),
+            optimizer=optimizer, state=state, k_train=k_train, mesh=mesh,
+            start_epoch=start_epoch, on_epoch=on_epoch,
+            sample_batch_builder=_sample_builder, labeled=(x_l, y_l))
     elif config["eager"]:
         # the reference's exact per-batch protocol (partial batches
         # dropped only when a mesh requires fixed per-device shapes)

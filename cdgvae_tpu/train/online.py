@@ -13,7 +13,7 @@ of the DGP (the centered min-max of modules/datasets.py:31-37 is a
 dataset statistic; online batches use the same population constants so
 the alignment targets match the fixed-dataset protocol).
 
-Four trainers share one scan core (:func:`_make_online_run`):
+Four trainers share one scan core (:func:`make_online_run_from_loss`):
 supervised / semi-supervised, each single-device or sharded over a
 ``dp`` mesh. The sharded variants run the DGP + rasterizer independently
 on EVERY device (keys folded per step and per device) with one gradient
@@ -178,11 +178,11 @@ def dr_batch_fn(batch_size: int, image_size: int = 64,
     return sample
 
 
-def _make_online_run(loss_fn: Callable, optimizer, sample_batch: Callable,
+def make_online_run_from_loss(loss_fn: Callable, optimizer, sample_batch: Callable,
                      n_steps_per_call: int, mesh=None,
                      batch_size_l: int | None = None,
                      local_bs: int = 0) -> Callable:
-    """Shared scan core of the four online trainers.
+    """Online trainer for ANY supervised-shaped ``loss_fn(params, x, y, rng) -> (loss, metrics)`` (or the semi shape when ``batch_size_l`` is set) — the shared scan core of the four family makers below, public so other losses (e.g. the InfoMax pair loss over (model, discriminator) params with pair_infomax_optimizer) can ride online training too.
 
     Each step: fold the base key by step index (and, under a mesh, by
     device index) -> fresh DGP+rasterizer draw -> [semi: subsample the
@@ -294,7 +294,7 @@ def make_online_scanned_steps(model, optimizer, beta: float, lam: float,
     loss_fn = make_supervised_loss_fn(model, beta, lam, compute_dtype)
     if sample_batch is None:
         sample_batch = pendulum_batch_fn(batch_size, image_size, norm_seed)
-    return _make_online_run(loss_fn, optimizer, sample_batch,
+    return make_online_run_from_loss(loss_fn, optimizer, sample_batch,
                             n_steps_per_call)
 
 
@@ -327,7 +327,7 @@ def make_sharded_online_scanned_steps(
     if sample_batch_builder is None:
         def sample_batch_builder(bs):
             return pendulum_batch_fn(bs, image_size, norm_seed)
-    return _make_online_run(loss_fn, optimizer,
+    return make_online_run_from_loss(loss_fn, optimizer,
                             sample_batch_builder(local_bs),
                             n_steps_per_call, mesh=mesh, local_bs=local_bs)
 
@@ -356,7 +356,7 @@ def make_online_scanned_steps_semi(model, optimizer, beta: float,
     loss_fn = make_semi_loss_fn(model, beta, lam)
     if sample_batch is None:
         sample_batch = pendulum_batch_fn(batch_size, image_size, norm_seed)
-    return _make_online_run(loss_fn, optimizer, sample_batch,
+    return make_online_run_from_loss(loss_fn, optimizer, sample_batch,
                             n_steps_per_call, batch_size_l=batch_size_l)
 
 
@@ -388,7 +388,7 @@ def make_sharded_online_scanned_steps_semi(
     if sample_batch_builder is None:
         def sample_batch_builder(bs):
             return pendulum_batch_fn(bs, image_size, norm_seed)
-    return _make_online_run(loss_fn, optimizer,
+    return make_online_run_from_loss(loss_fn, optimizer,
                             sample_batch_builder(local_bs),
                             n_steps_per_call, mesh=mesh,
                             batch_size_l=batch_size_l // n_dev,

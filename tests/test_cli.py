@@ -201,6 +201,23 @@ def test_main_online_single_device(workdir):
     assert os.path.exists(os.path.join(out, "recon.png"))
 
 
+def test_main_online_infomax(workdir):
+    """cli.main --online --model InfoMax: the pair loss + fused pair
+    optimizer ride the online runner (single-device and dp-mesh)."""
+    from cdgvae_tpu.cli import main
+    out = os.path.join(workdir, "online_infomax")
+    main.main(SMALL + ["--model", "InfoMax", "--epochs", "2",
+                       "--batch_size", "16", "--dp", "1", "--online",
+                       "--assets_dir", out])
+    out2 = os.path.join(workdir, "online_infomax_dp")
+    main.main(SMALL + ["--model", "InfoMax", "--epochs", "2",
+                       "--batch_size", "16", "--dp", "8", "--online",
+                       "--assets_dir", out2])
+    for o in (out, out2):
+        assert os.path.exists(os.path.join(o, "model_InfoMax_linear",
+                                           "state.pkl"))
+
+
 def test_main_online_dp_mesh_scanned(workdir):
     """--online --dp 8: multi-chip fresh-data-per-step training (per-device
     on-chip DGP+rasterizer, gradient pmean) writes a working checkpoint."""
