@@ -189,7 +189,8 @@ def run_online_training(config, *, loss_fn, optimizer, state, k_train,
     import numpy as np
 
     from ..parallel.mesh import replicate
-    from ..train.online import make_online_run_from_loss, train_split_size
+    from ..train.online import (make_online_run_from_loss, split_batch,
+                                train_split_size)
 
     bs = config["batch_size"]
     steps_per_epoch = max(train_split_size(config["n_samples"]) // bs, 1)
@@ -197,19 +198,13 @@ def run_online_training(config, *, loss_fn, optimizer, state, k_train,
     x_l = y_l = None
     kw = {}
     if mesh is not None:
-        n_dev = mesh.devices.size
-        if bs % n_dev:
-            raise ValueError(f"batch_size {bs} not divisible by "
-                             f"{n_dev} devices")
+        local_bs = split_batch(bs, mesh)
         state = replicate(mesh, state)
         if semi:
             x_l, y_l = _shard_over_dp(mesh, labeled)
             bs_l = min(config["batch_sizeL"], len(x_l))
-            if bs_l % n_dev:
-                raise ValueError(f"batch_sizeL {bs_l} not divisible by "
-                                 f"{n_dev} devices")
-            kw["batch_size_l"] = bs_l // n_dev
-        local_bs = bs // n_dev
+            kw["batch_size_l"] = split_batch(bs_l, mesh,
+                                             name="batch_sizeL")
         kw.update(mesh=mesh, local_bs=local_bs)
         sample_batch = sample_batch_builder(local_bs)
     else:

@@ -75,9 +75,9 @@ def main(argv=None):
         if config["eager"] or \
                 config.get("data_dir") or config["labeled_ratio"] < 1 or \
                 not config["label_normalization"]:
-            raise SystemExit("--online supports the VAE/CDGVAE "
-                             "scanned path with full labels "
-                             "and label_normalization only")
+            raise SystemExit("--online supports the scanned path on the "
+                             "synthetic DR DGP with full labels and "
+                             "label_normalization only")
         x_data = y_data = None
     else:
         dataset = PendulumDRDataset(
@@ -127,12 +127,16 @@ def main(argv=None):
         print(format_epoch(epoch, metrics))
         logger.log(metrics, step=epoch)
 
+    # single source of truth for the viz cadence: the scanned/online
+    # drivers gate on it via post_epoch_pred (so off-cadence epochs skip
+    # the device pull entirely) and the eager loop gates explicitly
+    viz_due = lambda e: e % 10 == 0  # noqa: E731
+
     def post_epoch(state, epoch):
-        if epoch % 10 == 0:
-            xhat = viz_fwd(state[0], x_viz,
-                           jax.random.fold_in(k_train, 2**31))
-            viz_recon_grid(np.asarray(xhat),
-                           f"{config['assets_dir']}/tmp_image_{epoch}.png")
+        xhat = viz_fwd(state[0], x_viz,
+                       jax.random.fold_in(k_train, 2**31))
+        viz_recon_grid(np.asarray(xhat),
+                       f"{config['assets_dir']}/tmp_image_{epoch}.png")
 
     if config["online"]:
         # fresh-data-per-step on the DR DGP (cli.main --online analog):
@@ -156,7 +160,7 @@ def main(argv=None):
                 k_train=k_train, mesh=mesh, start_epoch=start_epoch,
                 on_epoch=on_epoch, sample_batch_builder=_sample_builder,
                 post_epoch=lambda s, e: post_epoch((s[0][0],), e),
-                post_epoch_pred=lambda e: e % 10 == 0)
+                post_epoch_pred=viz_due)
             state = (pair[0][0], pair[0][1], pair[1][0], pair[1][1])
         else:
             state = run_online_training(
@@ -167,7 +171,7 @@ def main(argv=None):
                 mesh=mesh, start_epoch=start_epoch, on_epoch=on_epoch,
                 sample_batch_builder=_sample_builder,
                 post_epoch=post_epoch,
-                post_epoch_pred=lambda e: e % 10 == 0)
+                post_epoch_pred=viz_due)
     elif config["model"] != "InfoMax" and not config["eager"]:
         # scanned trainer; --dp swaps in the shard_map trainer (same
         # wiring as cli.main — DR uses the identical supervised loss)
@@ -184,7 +188,7 @@ def main(argv=None):
                 model, config["beta"], config["lambda"]),
             optimizer=optimizer, start_epoch=start_epoch,
             on_epoch=on_epoch, post_epoch=post_epoch,
-            post_epoch_pred=lambda e: e % 10 == 0)
+            post_epoch_pred=viz_due)
     elif config["model"] == "InfoMax" and not config["eager"]:
         # InfoMax scanned (pair states), single-device or mesh — same
         # wiring as cli.main
@@ -205,14 +209,15 @@ def main(argv=None):
             optimizer=pair_infomax_optimizer(optimizer, optimizer_d),
             start_epoch=start_epoch, on_epoch=on_epoch,
             post_epoch=lambda s, e: post_epoch((s[0][0],), e),
-            post_epoch_pred=lambda e: e % 10 == 0, pair=True)
+            post_epoch_pred=viz_due, pair=True)
     else:
         for epoch in range(start_epoch, config["epochs"]):
             state, metrics = train_epoch(
                 step, state, x_data, y_data, config["batch_size"], k_train,
                 epoch, shuffle_rng, drop_remainder=mesh is not None)
             on_epoch(epoch, metrics)
-            post_epoch(state, epoch)
+            if viz_due(epoch):
+                post_epoch(state, epoch)
 
     ckpt = os.path.join(config["assets_dir"],
                         f"model_DR_{config['model']}_{config['scm']}")

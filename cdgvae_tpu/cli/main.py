@@ -108,9 +108,15 @@ def main(argv=None):
     if config["online"]:
         # no dataset at all: --online draws every batch from the device
         # DGP; the viz batch below comes from the same device draw
-        if config["eager"] or config.get("data_dir"):
+        # (no label_normalization=False / labeled_ratio<1 support — the
+        # online stream's labels use the frozen normalization constants
+        # and every step draws full fresh labels; same guard as dr_main)
+        if config["eager"] or config.get("data_dir") or \
+                config["labeled_ratio"] < 1 or \
+                not config["label_normalization"]:
             raise SystemExit("--online supports the scanned path on the "
-                             "synthetic DGP only")
+                             "synthetic DGP with full labels and "
+                             "label_normalization only")
         x_data = y_data = None
     else:
         dataset = PendulumDataset(

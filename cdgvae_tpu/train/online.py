@@ -198,6 +198,12 @@ def make_online_run_from_loss(loss_fn: Callable, optimizer, sample_batch: Callab
     donated.
     """
     semi = batch_size_l is not None
+    if mesh is not None and local_bs <= 0:
+        raise ValueError(
+            "local_bs (each device's draw size) is required under a mesh "
+            "— without it the DGP's positional corruption mask would be "
+            "offset by 0 on every device, silently changing the sampled "
+            "distribution with the device count")
 
     def scan_steps(params, opt_state, x_l, y_l, rng, step0, dev):
         if semi and x_l.shape[0] < batch_size_l:
@@ -271,10 +277,12 @@ def make_online_run_from_loss(loss_fn: Callable, optimizer, sample_batch: Callab
     return jax.jit(body, donate_argnums=(0, 1))
 
 
-def _split_batch(batch_size: int, mesh) -> int:
+def split_batch(batch_size: int, mesh, name: str = "batch_size") -> int:
+    """Per-device share of ``batch_size`` over the mesh; raises (naming
+    the offending flag) when it does not divide evenly."""
     n_dev = mesh.devices.size
     if batch_size % n_dev:
-        raise ValueError(f"batch_size {batch_size} not divisible by "
+        raise ValueError(f"{name} {batch_size} not divisible by "
                          f"{n_dev} devices")
     return batch_size // n_dev
 
@@ -323,7 +331,7 @@ def make_sharded_online_scanned_steps(
     donated; per-step metrics are cross-device means).
     """
     loss_fn = make_supervised_loss_fn(model, beta, lam, compute_dtype)
-    local_bs = _split_batch(batch_size, mesh)
+    local_bs = split_batch(batch_size, mesh)
     if sample_batch_builder is None:
         def sample_batch_builder(bs):
             return pendulum_batch_fn(bs, image_size, norm_seed)
@@ -380,11 +388,9 @@ def make_sharded_online_scanned_steps_semi(
     ``dp``).
     """
     loss_fn = make_semi_loss_fn(model, beta, lam)
-    local_bs = _split_batch(batch_size, mesh)
+    local_bs = split_batch(batch_size, mesh)
     n_dev = mesh.devices.size
-    if batch_size_l % n_dev:
-        raise ValueError(f"batch_sizeL {batch_size_l} not divisible by "
-                         f"{n_dev} devices")
+    split_batch(batch_size_l, mesh, name="batch_sizeL")
     if sample_batch_builder is None:
         def sample_batch_builder(bs):
             return pendulum_batch_fn(bs, image_size, norm_seed)
