@@ -265,3 +265,18 @@ def test_dr_label_norm_stats_match_dataset_protocol():
         (np.asarray(mx) - np.asarray(mn))
     np.testing.assert_allclose(y4, ds.y_data[:, :4], rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(ds.y_data[:, 4:], ds.factors[:, 4:])
+
+
+def test_online_run_from_loss_requires_local_bs_under_mesh():
+    """Passing a mesh without local_bs must raise at trace time — a silent
+    0 offset would zero every device's corruption-mask offset and make the
+    sampled distribution device-count-dependent again."""
+    import pytest
+    from cdgvae_tpu.parallel.mesh import make_mesh
+    from cdgvae_tpu.train.online import make_online_run_from_loss
+
+    with pytest.raises(ValueError, match="local_bs"):
+        make_online_run_from_loss(lambda p, x, y, r: (0.0, {}),
+                                  optax.adam(1e-3),
+                                  lambda rng, index_offset=0: (None, None),
+                                  4, mesh=make_mesh(8))
