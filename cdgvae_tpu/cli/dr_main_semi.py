@@ -116,7 +116,8 @@ def main(argv=None):
             optimizer=optimizer, state=state, k_train=k_train, mesh=mesh,
             start_epoch=start_epoch, on_epoch=on_epoch,
             sample_batch_builder=lambda bs: dr_batch_fn(
-                bs, config["image_size"], norm_seed=config["seed"]),
+                bs, config["image_size"], norm_seed=config["seed"],
+                norm_n=config["n_samples"]),
             labeled=(x_l, y_l))
     elif config["eager"]:
         step = make_semi_step(model, optimizer, config["beta"],

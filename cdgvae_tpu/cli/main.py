@@ -164,7 +164,8 @@ def main(argv=None):
     if config["online"]:
         from ..train.online import pendulum_batch_fn
         _sample_builder = lambda bs: pendulum_batch_fn(  # noqa: E731
-            bs, config["image_size"], norm_seed=config["seed"])
+            bs, config["image_size"], norm_seed=config["seed"],
+            norm_n=config["n_samples"])
         x_viz = jax.jit(_sample_builder(config["batch_size"]))(
             jax.random.fold_in(k_train, 2**29))[0]
     else:

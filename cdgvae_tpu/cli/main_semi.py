@@ -113,7 +113,8 @@ def main(argv=None):
         from ..train.steps import make_semi_loss_fn
         from .common import run_online_training
         _sample_builder = lambda bs: pendulum_batch_fn(  # noqa: E731
-            bs, config["image_size"], norm_seed=config["seed"])
+            bs, config["image_size"], norm_seed=config["seed"],
+            norm_n=config["n_samples"])
         state = run_online_training(
             config,
             loss_fn=make_semi_loss_fn(model, config["beta"],

@@ -50,6 +50,22 @@ def preprocess(base_dir: str, out_dir: str, causal_structure: str = "smile",
 
     img_list = sorted(x for x in os.listdir(base_dir + "/CelebA-HQ-img")
                       if x != ".DS_Store")
+    # Split selection (reference celeba/preprocess.py:20-26): keep only the
+    # images whose list_eval_partition.txt partition is 0 (train) / 2 (test),
+    # matching the reference's lstrip('0') filename normalization. Without
+    # this filter train/ and test/ would both contain the ENTIRE corpus.
+    part_file = os.path.join(base_dir, "list_eval_partition.txt")
+    if os.path.exists(part_file):
+        part = pd.read_csv(part_file, sep=" ", header=None)
+        keep = set(x.lstrip("0")
+                   for x in part[part[1] == (0 if train else 2)][0])
+        img_list = [x for x in img_list if x in keep]
+    else:
+        # DEVIATION (documented): the partition file is absent from some
+        # CelebAMask-HQ mirrors. Fall back to a deterministic 80/20 split by
+        # image index so train and test are still disjoint.
+        img_list = [x for x in img_list
+                    if (int(x.split(".")[0]) % 5 == 4) != train]
     with open(base_dir + "/CelebAMask-HQ-attribute-anno.txt") as f:
         labels = f.readlines()
     df = pd.DataFrame([x.split() for x in labels[2:]],

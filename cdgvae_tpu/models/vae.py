@@ -302,6 +302,11 @@ def pendulum_masks(image_size: int = 64, k: int = 3) -> np.ndarray:
     shadow [51:) (reference main.py:167-179; rows are 64px-calibrated and
     scaled proportionally for other sizes)."""
     bounds = [0, 20, 51, image_size]
+    if k != len(bounds) - 1:
+        raise ValueError(
+            f"pendulum defines exactly {len(bounds) - 1} decoder masks "
+            f"(light/angle/shadow row bands); got a factor list of "
+            f"length k={k} — use --factor with 3 blocks for this family")
     if image_size != 64:
         bounds = [int(round(b * image_size / 64)) for b in bounds]
     masks = np.zeros((k, image_size, image_size, 3), dtype=np.float32)

@@ -53,10 +53,14 @@ def alignment_bce(align_latent: jax.Array, labels: jax.Array) -> jax.Array:
     and no validated run reaches that regime).
     """
     z = align_latent.astype(jnp.float32)
-    y = labels.astype(z.dtype)
-    # stable BCE-with-logits: max(z,0) - z*y + log(1+exp(-|z|))
-    bce = jnp.maximum(z, 0.0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))
-    return jnp.sum(bce, axis=1).mean()
+    return jnp.sum(stable_bce(z, labels.astype(z.dtype)), axis=1).mean()
+
+
+def stable_bce(z: jax.Array, y: jax.Array) -> jax.Array:
+    """Elementwise BCE-with-logits in the numerically stable form
+    ``max(z,0) - z*y + log(1+exp(-|z|))`` — the single definition used by
+    every head that needs it (alignment, the adult income recon)."""
+    return jnp.maximum(z, 0.0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))
 
 
 def infomax_mi(d_joint: jax.Array, d_marginal: jax.Array) -> jax.Array:

@@ -119,10 +119,11 @@ def run_scanned_chunks(raw_step: Callable, state: tuple, x, y, rng,
 
     raw_step: UNJITTED (params, opt_state, *batch, rng) -> (params,
     opt_state, metrics) step. ``on_epoch(epoch, metrics_dict)`` is called per
-    epoch with host floats. ``post_epoch(state, epoch)`` is called ONLY at
-    chunk boundaries, with the exact post-``epoch`` state; chunks are split
-    so every epoch where ``post_epoch_pred(epoch)`` is true ends a chunk
-    (defaults to every epoch being eligible only at natural chunk ends).
+    epoch with host floats. ``post_epoch(state, epoch)`` is called at chunk
+    boundaries with the exact post-``epoch`` state; chunks are split so
+    every epoch where ``post_epoch_pred(epoch)`` is true ends a chunk, and
+    when a predicate is given ONLY pred-true epochs invoke the callback
+    (without one, every natural chunk end does).
     ``make_runner(n_epochs)`` overrides the runner construction (semi);
     ``batch_args`` overrides the (x, y) data args passed to the runner.
     Returns the final (params, opt_state).
@@ -167,8 +168,13 @@ def run_scanned_chunks(raw_step: Callable, state: tuple, x, y, rng,
             if on_epoch is not None:
                 on_epoch(epoch + i, {k: float(v[i]) for k, v in ms.items()})
         epoch += n_call
-        if post_epoch is not None:
-            # exact: state is the post-(epoch-1) state at a chunk boundary
+        if post_epoch is not None and (post_epoch_pred is None
+                                       or post_epoch_pred(epoch - 1)):
+            # exact: state is the post-(epoch-1) state at a chunk boundary;
+            # with a predicate, ONLY pred-true epochs fire (natural chunk
+            # ends are dispatch granularity, not callback cadence — an
+            # ungated callback like dr_main's viz would otherwise write
+            # off-cadence artifacts at every chunk boundary)
             post_epoch(state, epoch - 1)
     return state
 

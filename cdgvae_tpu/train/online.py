@@ -51,6 +51,27 @@ def train_split_size(n: int) -> int:
     return n - n // 4
 
 
+def _physics_with_corruption(k, n: int, index_offset):
+    """Shared device-side physics block of BOTH family DGPs: uniform
+    light/pendulum angles, closed-form shadow physics, N(0, 0.1²)
+    measurement error, and the positional every-5th corruption mask
+    (offset to global row indices under a mesh — the bug class fixed in
+    commit 25bcfff must stay fixed in ONE place). Consumes exactly keys
+    ``k[0..4]``; callers draw their extra keys past that."""
+    light = jax.random.uniform(k[0], (n,), minval=math.pi / 4,
+                               maxval=math.pi / 2)
+    angle = jax.random.uniform(k[1], (n,), minval=0.0,
+                               maxval=math.pi / 4)
+    length, position = shadow_physics(light, angle, xp=jnp)
+    length = length + 0.1 * jax.random.normal(k[2], (n,))
+    position = position + 0.1 * jax.random.normal(k[3], (n,))
+    corrupt = (jnp.arange(n) + 1 + index_offset) % 5 == 0
+    u = jax.random.uniform(k[4], (n, 2), minval=0.0, maxval=12.0)
+    length = jnp.where(corrupt, u[:, 0], length)
+    position = jnp.where(corrupt, u[:, 1], position)
+    return light, angle, length, position
+
+
 def sample_factors_device(rng: jax.Array, n: int,
                           index_offset=0) -> jax.Array:
     """Device-side pendulum_real DGP (jnp twin of
@@ -63,18 +84,8 @@ def sample_factors_device(rng: jax.Array, n: int,
     device-count-independent), Bernoulli target with the -2·sin(logit)
     nonlinearity."""
     k = jax.random.split(rng, 6)
-    light = jax.random.uniform(k[0], (n,), minval=math.pi / 4,
-                               maxval=math.pi / 2)
-    angle = jax.random.uniform(k[1], (n,), minval=0.0,
-                               maxval=math.pi / 4)
-    length, position = shadow_physics(light, angle, xp=jnp)
-    length = length + 0.1 * jax.random.normal(k[2], (n,))
-    position = position + 0.1 * jax.random.normal(k[3], (n,))
-
-    corrupt = (jnp.arange(n) + 1 + index_offset) % 5 == 0
-    u = jax.random.uniform(k[4], (n, 2), minval=0.0, maxval=12.0)
-    length = jnp.where(corrupt, u[:, 0], length)
-    position = jnp.where(corrupt, u[:, 1], position)
+    light, angle, length, position = _physics_with_corruption(
+        k, n, index_offset)
 
     logit = jnp.stack([light, angle, length, position], 1) @ \
         jnp.asarray(_BETA, jnp.float32)
@@ -97,11 +108,13 @@ def label_norm_stats(seed: int = 1, n: int = 10000):
 
 
 def pendulum_batch_fn(batch_size: int, image_size: int = 64,
-                      norm_seed: int = 1) -> Callable:
+                      norm_seed: int = 1, norm_n: int = 10000) -> Callable:
     """``sample_batch(rng, index_offset=0) -> (x, y)`` for the root
     pendulum family: device DGP draw -> rasterize -> frozen-constant
-    label normalization."""
-    mu, mn, mx = label_norm_stats(norm_seed)
+    label normalization. ``norm_seed``/``norm_n`` must match the
+    fixed-dataset run's (seed, n_samples) for the alignment targets to
+    match that protocol (the CLIs pass both)."""
+    mu, mn, mx = label_norm_stats(norm_seed, norm_n)
 
     def sample(rng, index_offset=0):
         factors = sample_factors_device(rng, batch_size, index_offset)
@@ -140,17 +153,8 @@ def sample_factors_dr_device(rng: jax.Array, n: int, mu4: jax.Array,
     skipped — immaterial to the distribution. Returns [n, 6]:
     (light, angle, length, position, background, target)."""
     k = jax.random.split(rng, 7)
-    light = jax.random.uniform(k[0], (n,), minval=math.pi / 4,
-                               maxval=math.pi / 2)
-    angle = jax.random.uniform(k[1], (n,), minval=0.0,
-                               maxval=math.pi / 4)
-    length, position = shadow_physics(light, angle, xp=jnp)
-    length = length + 0.1 * jax.random.normal(k[2], (n,))
-    position = position + 0.1 * jax.random.normal(k[3], (n,))
-    corrupt = (jnp.arange(n) + 1 + index_offset) % 5 == 0
-    u = jax.random.uniform(k[4], (n, 2), minval=0.0, maxval=12.0)
-    length = jnp.where(corrupt, u[:, 0], length)
-    position = jnp.where(corrupt, u[:, 1], position)
+    light, angle, length, position = _physics_with_corruption(
+        k, n, index_offset)
 
     f4 = jnp.stack([light, angle, length, position], axis=1)
     logit = (f4 - mu4) @ jnp.asarray(_BETA, jnp.float32)
@@ -162,12 +166,14 @@ def sample_factors_dr_device(rng: jax.Array, n: int, mu4: jax.Array,
 
 
 def dr_batch_fn(batch_size: int, image_size: int = 64,
-                norm_seed: int = 1) -> Callable:
+                norm_seed: int = 1, norm_n: int = 10000) -> Callable:
     """``sample_batch(rng, index_offset=0) -> (x, y)`` for the DR family:
     device DGP -> blue-background rasterize -> frozen-constant
     normalization of the four physics labels (background/target stay
-    0/1, data/pendulum_dr.py:113-120)."""
-    mu4, mn, mx = dr_label_norm_stats(norm_seed)
+    0/1, data/pendulum_dr.py:113-120). ``norm_seed``/``norm_n`` must
+    match the fixed-dataset run's (seed, n_samples) — see
+    :func:`pendulum_batch_fn`."""
+    mu4, mn, mx = dr_label_norm_stats(norm_seed, norm_n)
 
     def sample(rng, index_offset=0):
         f = sample_factors_dr_device(rng, batch_size, mu4,

@@ -36,10 +36,7 @@ def make_recon_fn(dataset: str, flatten_topology: Sequence[int]) -> Callable:
             d2 = xhat[:, 3:] - x_[:, 3:]
             r = 0.5 * jnp.sum(d1 * d1, axis=1).mean()
             r += 0.5 * jnp.sum(d2 * d2, axis=1).mean()
-            z, y = xhat[:, 2], x_[:, 2]
-            bce = jnp.maximum(z, 0.0) - z * y + jnp.log1p(
-                jnp.exp(-jnp.abs(z)))
-            return r + bce.mean()
+            return r + losses.stable_bce(xhat[:, 2], x_[:, 2]).mean()
     elif dataset == "covtype":
         def recon_fn(xhat, x):
             d = xhat[:, :7] - x[:, :7]

@@ -140,12 +140,10 @@ def test_block_groups_wiring():
     assert BLOCK_GROUPS == ([0, 2], [0, 3], [0, 4], [0, 1, 5])
 
 
-def test_preprocess_synthetic_corpus(tmp_path):
-    """End-to-end preprocess on a tiny generated CelebAMask-HQ-layout corpus
-    (reference celeba/preprocess.py): images + part-mask PNGs + attribute
-    annotation file -> [H,W,8] npy + 6-dim labels, loadable by CelebADataset."""
+def _make_hq_corpus(tmp_path, n=3):
+    """Tiny CelebAMask-HQ-layout corpus: images + part-mask PNGs +
+    attribute annotation file. Returns the base dir."""
     import cv2
-    from cdgvae_tpu.data.celeba import preprocess
 
     base = tmp_path / "CelebAMask-HQ"
     (base / "CelebA-HQ-img").mkdir(parents=True)
@@ -162,7 +160,6 @@ def test_preprocess_synthetic_corpus(tmp_path):
     n_attr = len(attrs.split())
     rng = np.random.default_rng(0)
     rows = []
-    n = 3
     for i in range(n):
         img = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)
         cv2.imwrite(str(base / "CelebA-HQ-img" / f"{i}.jpg"), img)
@@ -177,7 +174,17 @@ def test_preprocess_synthetic_corpus(tmp_path):
     anno = [str(n), attrs] + rows
     (base / "CelebAMask-HQ-attribute-anno.txt").write_text(
         "\n".join(anno) + "\n")
+    return base
 
+
+def test_preprocess_synthetic_corpus(tmp_path):
+    """End-to-end preprocess on a tiny generated CelebAMask-HQ-layout corpus
+    (reference celeba/preprocess.py): images + part-mask PNGs + attribute
+    annotation file -> [H,W,8] npy + 6-dim labels, loadable by CelebADataset."""
+    from cdgvae_tpu.data.celeba import preprocess
+
+    n = 3
+    base = _make_hq_corpus(tmp_path, n)
     out = tmp_path / "out"
     preprocess(str(base), str(out), causal_structure="smile", img_size=64,
                train=True)
@@ -192,6 +199,46 @@ def test_preprocess_synthetic_corpus(tmp_path):
     assert set(np.unique(ds.y_data)) <= {0.0, 1.0}
     # mask group 0 (skin) must be non-empty, group for missing parts empty
     assert ds.x_data[..., 3].sum() > 0
+
+
+def test_preprocess_split_selection(tmp_path):
+    """preprocess must SPLIT the corpus, not copy it whole into both
+    trees (regression: the train flag used to only pick the output dir —
+    a train/test leak). With list_eval_partition.txt present, partition
+    0 -> train and 2 -> test with the reference's lstrip('0') filename
+    matching (celeba/preprocess.py:20-26); without it, a deterministic
+    disjoint 80/20 fallback."""
+    import os
+    from cdgvae_tpu.data.celeba import preprocess
+
+    base = _make_hq_corpus(tmp_path, n=6)
+    # zero-padded original-CelebA-style names, as in the real file
+    (base / "list_eval_partition.txt").write_text(
+        "000001.jpg 0\n000002.jpg 1\n000003.jpg 2\n"
+        "000004.jpg 0\n000005.jpg 2\n")
+
+    def saved(out, tag):
+        d = os.path.join(out, tag, "smile")
+        return sorted(int(f[:-4]) for f in os.listdir(d)) \
+            if os.path.isdir(d) else []
+
+    out = str(tmp_path / "out_part")
+    preprocess(str(base), out, causal_structure="smile", img_size=32,
+               train=True)
+    preprocess(str(base), out, causal_structure="smile", img_size=32,
+               train=False)
+    assert saved(out, "train") == [1, 4]   # partition 0
+    assert saved(out, "test") == [3, 5]    # partition 2 (1=val dropped)
+
+    (base / "list_eval_partition.txt").unlink()
+    out2 = str(tmp_path / "out_fallback")
+    preprocess(str(base), out2, causal_structure="smile", img_size=32,
+               train=True)
+    preprocess(str(base), out2, causal_structure="smile", img_size=32,
+               train=False)
+    tr, te = saved(out2, "train"), saved(out2, "test")
+    assert tr and te and not set(tr) & set(te)
+    assert sorted(tr + te) == list(range(6))
 
 
 def test_resnet_depth_variants():

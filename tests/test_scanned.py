@@ -105,9 +105,20 @@ def test_run_scanned_chunks_clamps_small_dataset_and_exact_boundaries():
         epochs=7, batch_size=128, chunk=5,
         post_epoch=lambda s, e: seen.setdefault(e, jax.device_get(s[0])),
         post_epoch_pred=lambda e: e == 2)
-    # boundaries: pred splits at epoch 2, then natural ends 5-1? chunks are
-    # [0..2], [3..7) capped -> post_epoch at 2 and 6
-    assert set(seen) == {2, 6}
+    # pred splits a chunk at epoch 2 and gates the callback: the natural
+    # chunk end at epoch 6 must NOT fire (regression: ungated callbacks
+    # like dr_main's viz used to run off-cadence at every chunk boundary)
+    assert set(seen) == {2}
+
+    # without a predicate every natural chunk boundary fires (celeba_main
+    # relies on this as its cadence)
+    seen_nopred = set()
+    run_scanned_chunks(
+        raw, (model.init(jax.random.key(0)),
+              opt.init(model.init(jax.random.key(0)))),
+        x, y, jax.random.key(1), epochs=7, batch_size=128, chunk=5,
+        post_epoch=lambda s, e: seen_nopred.add(e))
+    assert seen_nopred == {4, 6}
 
     # (b) exactness: replay the same steps eagerly to epoch 2 and compare
     import jax as _jax
