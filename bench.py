@@ -20,7 +20,11 @@ REFERENCE_IMGS_PER_SEC = 288.8  # scripts/bench_reference_torch.py, this host
 
 BATCH = 128
 N_DATA = 3712  # 29 full batches
-EPOCHS_PER_CALL = 10
+# 50 epochs (1450 steps) per device dispatch: the step is latency-bound at
+# ~0.26 ms, so the ~25 ms tunnel dispatch is ~25% overhead at 10 epochs/call
+# and <1% at 50 (measured 2026-08-18: 366k -> 486k imgs/s, the asymptote of
+# the per-step device time). Same program semantics — whole epochs, one scan.
+EPOCHS_PER_CALL = 50
 
 
 def main():
