@@ -24,11 +24,22 @@ from .utils.checkpoint import load_checkpoint
 
 class LoadedModel:
     def __init__(self, model, params, config: dict, mesh=None,
-                 bucket_batches: bool = True):
+                 bucket_batches: bool = True, transformer=None):
         self.model = model
         self.config = config
         self._n_dev = 1 if mesh is None else int(mesh.devices.size)
         self._celeba = hasattr(model, "latent_dim")
+        # CDG-TVAE: the decoder's raw concat is transformer-encoded space;
+        # data space is tanh -> DataTransformer.inverse_transform with the
+        # learned per-column sigmas (reference tabular/modules/train.py:275,
+        # tabular/inference_tvae.py:286-310). The transformer rides in the
+        # checkpoint dir (cli.tabular_main_tvae writes transformer.pkl).
+        self._transformer = transformer
+        if config.get("model") == "TVAE" and transformer is None:
+            raise ValueError(
+                "TVAE checkpoints need their DataTransformer to decode to "
+                "data space — use LoadedModel.load(checkpoint_dir) so "
+                "transformer.pkl is picked up alongside the params")
         # CelebA is NOT per-sample: its ResNet/SAGAN BatchNorms use batch
         # statistics (models/sagan.py docstring), so zero-pad rows would
         # shift the real rows' outputs — bucketing is forced off there
@@ -57,7 +68,11 @@ class LoadedModel:
                 return jax.jit(f, static_argnames=("do_index",))
 
         self.params = params
-        self._fwd = jit2(lambda p, x: model(p, x, deterministic=True).xhat)
+        # device-side tail of the TVAE data-space decode; the host-side
+        # DataTransformer inverse happens in _to_data on the way out
+        post = jnp.tanh if transformer is not None else (lambda r: r)
+        self._fwd = jit2(
+            lambda p, x: post(model(p, x, deterministic=True).xhat))
 
         # jit ONCE here, not per call: a jitted closure built inside a
         # method is a fresh function identity every call, so each
@@ -93,13 +108,13 @@ class LoadedModel:
                 z_do = model.graph.do_intervention(
                     params["causal"], latent, eps, do_index, value)
                 dec = model.decode(params, z_do)
-                return dec[1] if isinstance(dec, tuple) else dec
+                return post(dec[1] if isinstance(dec, tuple) else dec)
 
             @jit2
             def _gen(params, eps):
                 _, latent, _ = model.graph.transform(params["causal"], eps)
                 dec = model.decode(params, latent)
-                return dec[1] if isinstance(dec, tuple) else dec
+                return post(dec[1] if isinstance(dec, tuple) else dec)
 
             self._cf = _cf
             self._gen = _gen
@@ -115,8 +130,15 @@ class LoadedModel:
         config = ck["config"]
         if config is None:
             raise ValueError("checkpoint has no embedded config")
+        transformer = None
         if "dataset" in config:
             model, _ = build_tabular_model(dict(config))
+            if config.get("model") == "TVAE":
+                import os
+                import pickle
+                with open(os.path.join(checkpoint_dir,
+                                       "transformer.pkl"), "rb") as f:
+                    transformer = pickle.load(f)
         elif "causal_structure" in config:  # celeba family
             from .models.celeba import (CelebACDGVAE, celeba_B,
                                         SMILE_NODES, ATTRACTIVE_NODES)
@@ -134,11 +156,16 @@ class LoadedModel:
                 conv_dim=config["conv_dim"],
                 freeze_trunk=not config.get("train_trunk", False))
         else:
-            spurious = config.get("node", 4) == 5
+            # the family marker is recorded at save time by the training
+            # CLIs; the node==5 heuristic remains only for checkpoints
+            # written before the marker existed
+            spurious = bool(config.get("spurious",
+                                       config.get("node", 4) == 5))
             model, _ = build_pendulum_model(dict(config), spurious=spurious)
         return cls(model, jax.device_put(ck["params"])
                    if mesh is None else ck["params"],
-                   config, mesh=mesh, bucket_batches=bucket_batches)
+                   config, mesh=mesh, bucket_batches=bucket_batches,
+                   transformer=transformer)
 
     # -- batch bucketing -----------------------------------------------------
     # Every distinct batch size would otherwise trace+compile a fresh
@@ -167,6 +194,15 @@ class LoadedModel:
         pad = jnp.zeros((m - n, *x.shape[1:]), x.dtype)
         return jnp.concatenate([x, pad]), n
 
+    def _to_data(self, arr):
+        """Model output -> data space. Identity for every family except
+        TVAE, whose data space is the DataTransformer inverse with the
+        learned sigmas (returns a DataFrame in the original columns)."""
+        if self._transformer is None:
+            return np.asarray(arr)
+        return self._transformer.inverse_transform(
+            np.asarray(arr), sigmas=np.asarray(self.params["sigma"]))
+
     # -- inference surface ---------------------------------------------------
     def encode(self, x) -> np.ndarray:
         """Deterministic causal latents [batch, node]."""
@@ -174,18 +210,19 @@ class LoadedModel:
         _, _, _, _, latent, _ = self._encode(self.params, xp)
         return np.asarray(latent[:n])
 
-    def reconstruct(self, x) -> np.ndarray:
+    def reconstruct(self, x):
+        """Data-space reconstructions (ndarray; DataFrame for TVAE)."""
         xp, n = self._pad(jnp.asarray(x))
-        return np.asarray(self._fwd(self.params, xp)[:n])
+        return self._to_data(self._fwd(self.params, xp)[:n])
 
-    def counterfactual(self, x, do_index: int, value) -> np.ndarray:
+    def counterfactual(self, x, do_index: int, value):
         """Answer do(z_{do_index} := value) for each input: encode, apply
         the do-operator with ancestral re-propagation, decode."""
         xp, n = self._pad(jnp.asarray(x))
-        return np.asarray(self._cf(self.params, xp, do_index,
-                                   float(value))[:n])
+        return self._to_data(self._cf(self.params, xp, do_index,
+                                      float(value))[:n])
 
-    def sample(self, n: int, rng=None) -> np.ndarray:
+    def sample(self, n: int, rng=None):
         """Generative sampling: eps ~ N(0, I) -> SEM+flows -> decode."""
         if self._gen is None:
             raise ValueError(
@@ -195,4 +232,4 @@ class LoadedModel:
         rng = rng if rng is not None else jax.random.key(0)
         eps = jax.random.normal(rng, (n, self.model.node))
         ep, n0 = self._pad(eps)
-        return np.asarray(self._gen(self.params, ep)[:n0])
+        return self._to_data(self._gen(self.params, ep)[:n0])

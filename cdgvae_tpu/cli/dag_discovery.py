@@ -40,13 +40,20 @@ def main(argv=None):
     data = load_tabular(args.dataset, train=True, data_dir=args.data_dir)
     os.makedirs(args.assets_dir, exist_ok=True)
 
-    G_raw, _ = pc(data.frame.to_numpy(), alpha=args.alpha)
+    # the reference's per-dataset independence-test choice, for both the
+    # raw-column and the interleaved-label PC runs: chisq for loan/adult
+    # (dag_loan.py:37,:83; dag_adult.py:48,:102), fisherz for covtype
+    # (dag_covertype.py:53) — the same split real_cpdag uses
+    i_test = "fisherz" if args.dataset == "covtype" else "chisq"
+
+    G_raw, _ = pc(data.frame.to_numpy(), alpha=args.alpha,
+                  indep_test=i_test)
     print(f"CPDAG on raw {args.dataset} columns "
           f"({data.continuous}):\n{G_raw}")
     viz_graph(graph_to_binary(G_raw), data.continuous,
               f"{args.assets_dir}/dag_raw_{args.dataset}.png")
 
-    G_label, _ = pc(data.label, alpha=args.alpha)
+    G_label, _ = pc(data.label, alpha=args.alpha, indep_test=i_test)
     names = [f"u{i+1}" for i in range(data.label.shape[1])]
     print(f"CPDAG on interleaved labels:\n{G_label}")
     viz_graph(graph_to_binary(G_label), names,

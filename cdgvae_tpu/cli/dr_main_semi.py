@@ -59,6 +59,7 @@ def get_args(debug: bool = False, argv=None):
 
 def main(argv=None):
     config = vars(get_args(argv=argv))
+    config["spurious"] = True  # family marker for checkpoint loaders (api.py)
     set_random_seed(config["seed"])
     logger = MetricLogger(logdir=config["assets_dir"],
                           use_wandb=config["wandb"],

@@ -19,7 +19,7 @@ from ..eval.inference import (encode_dataset, latent_ranges, do_grid,
                               alignment_cross_entropy)
 from ..utils.checkpoint import load_checkpoint
 from ..utils.simulation import set_random_seed
-from ..utils.viz import viz_do_grid
+from ..utils.viz import viz_do_grid, viz_bars, viz_pair, viz_gam_blocks
 
 
 def get_args(argv=None):
@@ -37,7 +37,11 @@ def main(argv=None):
     config = ckpt["config"]
     set_random_seed(config["seed"])
 
-    model, _ = build_pendulum_model(config)
+    # honor the family marker so DR checkpoints rebuild with the spurious
+    # block wiring (older checkpoints: fall back to the node==5 heuristic)
+    model, _ = build_pendulum_model(
+        config, spurious=bool(config.get("spurious",
+                                         config.get("node", 4) == 5)))
     params = ckpt["params"]
 
     dataset = PendulumDataset(
@@ -51,27 +55,27 @@ def main(argv=None):
     encoded = encode_dataset(model, params, x_data)
     omin, omax, lmin, lmax = latent_ranges(encoded)
 
-    _plot_bars(np.abs(omax - omin), dataset.name[: model.node],
-               "latent (intervened)",
-               f"{args.assets_dir}/latent_maxmin_orig.png")
-    _plot_bars(np.abs(lmax - lmin), dataset.name[: model.node],
-               "transformed latent",
-               f"{args.assets_dir}/latent_maxmin.png")
-    _plot_bars(np.exp(encoded["logvar"]).mean(axis=0),
-               dataset.name[: model.node], "posterior variance",
-               f"{args.assets_dir}/posterior_variance.png", ylim=(0, 1))
+    viz_bars(np.abs(omax - omin), dataset.name[: model.node],
+             "latent (intervened)",
+             f"{args.assets_dir}/latent_maxmin_orig.png")
+    viz_bars(np.abs(lmax - lmin), dataset.name[: model.node],
+             "transformed latent",
+             f"{args.assets_dir}/latent_maxmin.png")
+    viz_bars(np.exp(encoded["logvar"]).mean(axis=0),
+             dataset.name[: model.node], "posterior variance",
+             f"{args.assets_dir}/posterior_variance.png", ylim=(0, 1))
     ce = alignment_cross_entropy(encoded, dataset.y_data)
-    _plot_bars(ce, dataset.name[: model.node], "latent",
-               f"{args.assets_dir}/crossentropy.png")
+    viz_bars(ce, dataset.name[: model.node], "latent",
+             f"{args.assets_dir}/crossentropy.png")
 
     # recon side-by-side (8th sample like the reference, inference.py:252-255)
     x_sample = x_data[7:8]
     out = model(params, x_sample, deterministic=True)
-    _plot_pair(np.asarray(x_sample[0]), np.asarray(out.xhat[0]),
-               f"{args.assets_dir}/original_and_recon.png")
+    viz_pair(np.asarray(x_sample[0]), np.asarray(out.xhat[0]),
+             f"{args.assets_dir}/original_and_recon.png")
 
     if out.xhat_separated is not None:
-        _plot_gam(np.asarray(out.xhat_separated).reshape(
+        viz_gam_blocks(np.asarray(out.xhat_separated).reshape(
             model.K, config["image_size"], config["image_size"], 3),
             f"{args.assets_dir}/gam.png")
 
@@ -80,51 +84,6 @@ def main(argv=None):
                 row_names=dataset.name[: model.node])
     print(f"wrote diagnostics to {args.assets_dir}")
     return grid
-
-
-def _plot_bars(vals, names, ylabel, path, ylim=None):
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-    fig = plt.figure(figsize=(5, 3))
-    plt.bar(np.arange(len(vals)), np.asarray(vals), width=0.2)
-    plt.xticks(np.arange(len(vals)), names)
-    plt.ylabel(ylabel, fontsize=12)
-    if ylim:
-        plt.ylim(*ylim)
-    plt.tight_layout()
-    plt.savefig(path, bbox_inches="tight")
-    plt.close(fig)
-
-
-def _plot_pair(x, xhat, path):
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-    fig, ax = plt.subplots(1, 2, figsize=(4, 4))
-    ax[0].imshow(np.clip((x + 1) / 2, 0, 1))
-    ax[0].axis("off")
-    ax[0].set_title("original")
-    ax[1].imshow(np.clip((xhat + 1) / 2, 0, 1))
-    ax[1].axis("off")
-    ax[1].set_title("recon")
-    plt.tight_layout()
-    plt.savefig(path, bbox_inches="tight")
-    plt.close(fig)
-
-
-def _plot_gam(blocks, path):
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-    k = blocks.shape[0]
-    fig, ax = plt.subplots(1, k, figsize=(7, 4))
-    for i in range(k):
-        ax[i].imshow(np.clip((blocks[i] + 1) / 2, 0, 1))
-        ax[i].axis("off")
-    plt.tight_layout()
-    plt.savefig(path, bbox_inches="tight")
-    plt.close(fig)
 
 
 if __name__ == "__main__":

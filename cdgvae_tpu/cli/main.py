@@ -100,6 +100,7 @@ def _make_viz_forward(model):
 
 def main(argv=None):
     config = vars(get_args(argv=argv))
+    config["spurious"] = False  # family marker for checkpoint loaders (api.py)
     set_random_seed(config["seed"])
     logger = MetricLogger(logdir=config["assets_dir"],
                           use_wandb=config["wandb"], tags=["VAEBased"],

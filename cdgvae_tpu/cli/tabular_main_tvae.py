@@ -15,7 +15,7 @@ from ..factory import build_tabular_model, tvae_block_mask
 from ..train.tabular_steps import make_tvae_step
 from ..train.loop import train_epoch, format_epoch
 from ..utils.simulation import set_random_seed
-from ..utils.checkpoint import save_checkpoint
+from ..utils.checkpoint import save_checkpoint, atomic_write
 from ..utils.logging import MetricLogger
 from .common import (arg_as_bool,
                      arg_as_list, add_infra_args, resolve_mesh,
@@ -135,8 +135,8 @@ def main(argv=None):
                     step=config["epochs"], config=config)
     # the fitted transformer must travel with the checkpoint: inverse
     # transforms (synthetic sampling) depend on it (inference_tvae.py:250-310)
-    with open(os.path.join(ckpt, "transformer.pkl"), "wb") as f:
-        pickle.dump(data.transformer, f)
+    atomic_write(os.path.join(ckpt, "transformer.pkl"), "wb",
+                  lambda f: pickle.dump(data.transformer, f))
     print(f"checkpoint saved to {ckpt}")
     logger.finish()
     return state

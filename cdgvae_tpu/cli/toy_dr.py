@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ..ops.losses import clipped_bce_probs
+
 
 def generate(seed: int = 0, n: int = 10000, ratio: float = 0.9):
     """The toy DGP (reference DR/toyDR.py:13-53). ``ratio`` controls the
@@ -62,9 +64,7 @@ def train_entangled(x, y, seed: int = 1, epochs: int = 20,
     def step(params, opt_state, xb, yb):
         def loss_fn(p):
             pred = jax.nn.sigmoid(xb @ p["w1"] @ p["w2"])
-            pred = jnp.clip(pred, 1e-7, 1 - 1e-7)
-            return -(yb * jnp.log(pred)
-                     + (1 - yb) * jnp.log(1 - pred)).mean()
+            return clipped_bce_probs(pred, yb).mean()
 
         loss, g = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(g, opt_state, params)

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.classifier import DownstreamClassifier
+from ..ops.losses import clipped_bce_probs
 
 _BETA = np.array([1.0, -1.0, 0.5, -0.5])
 
@@ -58,9 +59,7 @@ def _downstream_runner(dim: int, n: int, epochs: int, batch_size: int,
 
     def step(params, opt_state, x, y):
         def loss_fn(p):
-            pred = jnp.clip(clf(p, x), 1e-7, 1 - 1e-7)
-            return -(y * jnp.log(pred)
-                     + (1 - y) * jnp.log(1 - pred)).mean()
+            return clipped_bce_probs(clf(p, x), y).mean()
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state, params)

@@ -14,6 +14,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ops.losses import clipped_bce_probs
+
 
 @lru_cache(maxsize=32)
 def _encode_fn(model):
@@ -106,6 +108,4 @@ def alignment_cross_entropy(encoded: dict, labels: np.ndarray) -> np.ndarray:
     z = encoded["latent"]
     y = labels[:, : z.shape[1]]
     p = 1.0 / (1.0 + np.exp(-z))
-    p = np.clip(p, 1e-7, 1 - 1e-7)
-    bce = -(y * np.log(p) + (1 - y) * np.log(1 - p))
-    return bce.mean(axis=0)
+    return np.asarray(clipped_bce_probs(p, y)).mean(axis=0)

@@ -59,8 +59,23 @@ def alignment_bce(align_latent: jax.Array, labels: jax.Array) -> jax.Array:
 def stable_bce(z: jax.Array, y: jax.Array) -> jax.Array:
     """Elementwise BCE-with-logits in the numerically stable form
     ``max(z,0) - z*y + log(1+exp(-|z|))`` — the single definition used by
-    every head that needs it (alignment, the adult income recon)."""
+    every LOGIT head (alignment, the adult income recon). Heads that emit
+    probabilities use clipped_bce_probs below."""
     return jnp.maximum(z, 0.0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))
+
+
+def clipped_bce_probs(p: jax.Array, y: jax.Array,
+                      eps: float = 1e-7) -> jax.Array:
+    """Elementwise BCE in probability space with clipping — the analogue of
+    torch ``BCELoss`` on sigmoid outputs, the single definition for the
+    heads the reference trains/scores on probabilities: the
+    DownstreamClassifier fits (sample_efficiency.py, DR/robustness.py),
+    toyDR, and the alignment-CE diagnostic (inference.py:231-236).
+    Deliberately NOT rewritten as stable_bce: these sites replicate the
+    reference's BCELoss numerics, where gradients saturate under the clip
+    once |logit| exceeds ~16."""
+    p = jnp.clip(p, eps, 1.0 - eps)
+    return -(y * jnp.log(p) + (1 - y) * jnp.log(1 - p))
 
 
 def infomax_mi(d_joint: jax.Array, d_marginal: jax.Array) -> jax.Array:

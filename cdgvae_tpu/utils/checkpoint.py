@@ -42,11 +42,23 @@ def save_checkpoint(path: str, params, opt_state=None, step: int = 0,
     }
     if extras is not None:
         payload["extras"] = {k: _to_host(v) for k, v in extras.items()}
-    with open(os.path.join(path, "state.pkl"), "wb") as f:
-        pickle.dump(payload, f)
+    # atomic replace: mid-run checkpoints overwrite the same files, so a
+    # crash during the write must not destroy the previous good checkpoint
+    # (the whole point of --resume). Write-to-temp + os.replace keeps the
+    # old state.pkl intact until the new one is fully on disk.
+    atomic_write(os.path.join(path, "state.pkl"), "wb",
+                 lambda f: pickle.dump(payload, f))
     if config is not None:
-        with open(os.path.join(path, "config.json"), "w") as f:
-            json.dump(_jsonable(config), f, indent=2, sort_keys=True)
+        atomic_write(os.path.join(path, "config.json"), "w",
+                     lambda f: json.dump(_jsonable(config), f, indent=2,
+                                         sort_keys=True))
+
+
+def atomic_write(dest: str, mode: str, write):
+    tmp = dest + ".tmp"
+    with open(tmp, mode) as f:
+        write(f)
+    os.replace(tmp, dest)
 
 
 def load_checkpoint(path: str) -> dict[str, Any]:

@@ -25,10 +25,18 @@ class MetricLogger:
         if use_wandb:
             try:
                 import wandb
-                self._wandb = wandb.init(project=project, tags=list(tags),
-                                         config=config)
-            except Exception:
-                self._wandb = None
+            except ImportError:
+                wandb = None  # silent fallback: wandb simply not installed
+            if wandb is not None:
+                try:
+                    self._wandb = wandb.init(project=project,
+                                             tags=list(tags), config=config)
+                except Exception as e:
+                    # auth/network/config failures must not kill training,
+                    # but silently logging nothing would hide them
+                    import sys
+                    print(f"[MetricLogger] wandb.init failed, continuing "
+                          f"without wandb: {e!r}", file=sys.stderr)
 
     def log(self, metrics: dict, step: int | None = None):
         if self._file:

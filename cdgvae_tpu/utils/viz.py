@@ -85,3 +85,51 @@ def viz_graph(B: np.ndarray, names, path: str | None = None):
         plt.savefig(path, bbox_inches="tight")
     plt.close(fig)
     return fig
+
+
+def viz_bars(vals, names, ylabel: str, path: str, ylim=None):
+    """Per-node diagnostic bar chart (reference inference.py:193-248:
+    latent ranges, posterior variance, alignment cross-entropy)."""
+    plt = _plt()
+    fig = plt.figure(figsize=(5, 3))
+    plt.bar(np.arange(len(vals)), np.asarray(vals), width=0.2)
+    plt.xticks(np.arange(len(vals)), names)
+    plt.ylabel(ylabel, fontsize=12)
+    if ylim:
+        plt.ylim(*ylim)
+    plt.tight_layout()
+    plt.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+    return fig
+
+
+def viz_pair(x: np.ndarray, xhat: np.ndarray, path: str):
+    """Original/reconstruction side-by-side (reference inference.py:252-262),
+    images in [-1, 1]."""
+    plt = _plt()
+    fig, ax = plt.subplots(1, 2, figsize=(4, 4))
+    ax[0].imshow(np.clip((x + 1) / 2, 0, 1))
+    ax[0].axis("off")
+    ax[0].set_title("original")
+    ax[1].imshow(np.clip((xhat + 1) / 2, 0, 1))
+    ax[1].axis("off")
+    ax[1].set_title("recon")
+    plt.tight_layout()
+    plt.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+    return fig
+
+
+def viz_gam_blocks(blocks: np.ndarray, path: str):
+    """Per-block GAM decoder outputs [K, H, W, 3] in [-1, 1]
+    (reference inference.py:285-296)."""
+    plt = _plt()
+    k = blocks.shape[0]
+    fig, ax = plt.subplots(1, k, figsize=(7, 4))
+    for i in range(k):
+        ax[i].imshow(np.clip((blocks[i] + 1) / 2, 0, 1))
+        ax[i].axis("off")
+    plt.tight_layout()
+    plt.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+    return fig

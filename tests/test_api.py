@@ -182,3 +182,89 @@ def test_api_mesh_small_batch_buckets_to_device_multiple(tmp_path):
         size=(3, 16, 16, 3))).astype(np.float32)
     assert m8.reconstruct(x).shape == (3, 16, 16, 3)
     assert m8.encode(x).shape == (3, 4)
+
+
+def test_loaded_model_tvae_decodes_to_data_space(tmp_path):
+    """TVAE checkpoints must decode through tanh + DataTransformer inverse
+    (reference tabular/inference_tvae.py:286-310), not return the raw
+    transformer-encoded concat."""
+    import pandas as pd
+    from cdgvae_tpu.data.tabular.datasets import load_tabular_tvae
+    from cdgvae_tpu.factory import build_tabular_model, tvae_block_mask
+    from cdgvae_tpu.utils.checkpoint import atomic_write
+    import pickle
+
+    data = load_tabular_tvae("loan", random_state=8, synthetic_n=1500)
+    config = dict(model="TVAE", dataset="loan", scm="linear", flow_num=1,
+                  inverse_loop=100, adjacency_scaling=True,
+                  input_dim=data.transformer.output_dimensions,
+                  tvae_mask=tvae_block_mask(
+                      "loan", data.transformer.output_info_list))
+    model, _ = build_tabular_model(config)
+    params = model.init(jax.random.key(0))
+    ckpt = str(tmp_path / "tvae_ck")
+    save_checkpoint(ckpt, params, config=config)
+    atomic_write(ckpt + "/transformer.pkl", "wb",
+                 lambda f: pickle.dump(data.transformer, f))
+
+    m = LoadedModel.load(ckpt)
+    xr = m.reconstruct(data.x_data[:4])
+    xs = m.sample(8)
+    cols = list(data.transformer._column_raw_dtypes.index)
+    for df, n in ((xr, 4), (xs, 8)):
+        assert isinstance(df, pd.DataFrame)
+        assert len(df) == n
+        assert list(df.columns) == cols
+    assert m.encode(data.x_data[:4]).shape == (4, 3)
+
+    # direct construction without the transformer must refuse loudly
+    import pytest
+    with pytest.raises(ValueError, match="transformer"):
+        LoadedModel(model, params, config)
+
+
+def test_loaded_model_plain_node5_not_mistaken_for_dr(tmp_path):
+    """A non-DR node=5 pendulum checkpoint must reload with plain block
+    wiring: the family marker (config['spurious']) decides, not node==5."""
+    cfg = dict(CFG, node=5, factor=[1, 1, 3], spurious=False)
+    model, _ = build_pendulum_model(cfg)
+    params = model.init(jax.random.key(0))
+    ckpt = str(tmp_path / "ck5")
+    save_checkpoint(ckpt, params, config=cfg)
+
+    m = LoadedModel.load(ckpt)
+    x = np.tanh(np.random.default_rng(0).normal(
+        size=(2, 16, 16, 3))).astype(np.float32)
+    assert m.encode(x).shape == (2, 5)
+    assert m.reconstruct(x).shape == (2, 16, 16, 3)
+
+
+def test_checkpoint_write_is_atomic(tmp_path):
+    """A crash mid-write must not destroy the previous good checkpoint."""
+    import pickle as _pickle
+    from cdgvae_tpu.utils import checkpoint as ck
+
+    ckpt = str(tmp_path / "at")
+    save_checkpoint(ckpt, {"w": np.ones(3)}, config={"v": 1})
+
+    class Boom(Exception):
+        pass
+
+    real_dump = _pickle.dump
+
+    def exploding_dump(obj, f):
+        f.write(b"partial garbage")
+        raise Boom()
+
+    _pickle.dump = exploding_dump
+    try:
+        import pytest
+        with pytest.raises(Boom):
+            save_checkpoint(ckpt, {"w": np.zeros(3)}, config={"v": 2})
+    finally:
+        _pickle.dump = real_dump
+
+    from cdgvae_tpu.utils.checkpoint import load_checkpoint
+    payload = load_checkpoint(ckpt)  # must still be the epoch-1 state
+    np.testing.assert_array_equal(payload["params"]["w"], np.ones(3))
+    assert payload["config"] == {"v": 1}

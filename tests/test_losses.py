@@ -52,3 +52,23 @@ def test_posterior_variance():
     logvar = jnp.log(jnp.array([[1.0, 4.0], [1.0, 4.0]]))
     np.testing.assert_allclose(np.asarray(losses.posterior_variance(logvar)),
                                [1.0, 4.0], rtol=1e-6)
+
+
+def test_clipped_bce_probs_matches_manual_form():
+    """The probability-space BCE (torch BCELoss analogue) used by the
+    downstream-classifier fits, toyDR, and the alignment-CE diagnostic."""
+    from cdgvae_tpu.ops.losses import clipped_bce_probs
+
+    rng = np.random.default_rng(3)
+    p = rng.uniform(size=(16, 4)).astype(np.float32)
+    y = (rng.uniform(size=(16, 4)) > 0.5).astype(np.float32)
+    got = np.asarray(clipped_bce_probs(jnp.asarray(p), jnp.asarray(y)))
+    pc = np.clip(p, 1e-7, 1 - 1e-7)
+    want = -(y * np.log(pc) + (1 - y) * np.log(1 - pc))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # clipping keeps saturated probabilities finite (the reference's
+    # BCELoss clamp behavior)
+    sat = np.asarray(clipped_bce_probs(jnp.asarray([0.0, 1.0]),
+                                       jnp.asarray([1.0, 0.0])))
+    assert np.all(np.isfinite(sat))

@@ -244,3 +244,31 @@ def test_pc_removes_edge_separated_by_other_endpoints_neighbors():
     # the true adjacencies all survive
     for a, b in [(0, 2), (3, 2), (2, 1), (3, 1)]:
         assert G[a, b] != 0 or G[b, a] != 0
+
+
+def test_dag_discovery_uses_reference_indep_tests(monkeypatch, tmp_path):
+    """chisq for loan/adult (reference dag_loan.py:37/:83,
+    dag_adult.py:48/:102), fisherz for covtype (dag_covertype.py:53) —
+    on BOTH the raw-column and interleaved-label PC runs."""
+    from cdgvae_tpu.cli import dag_discovery
+
+    calls = []
+
+    def fake_pc(data, alpha=0.05, indep_test="fisherz"):
+        calls.append(indep_test)
+        d = data.shape[1]
+        return np.zeros((d, d)), None
+
+    monkeypatch.setattr(dag_discovery, "pc", fake_pc)
+    monkeypatch.setattr(dag_discovery, "viz_graph",
+                        lambda *a, **k: None)
+    monkeypatch.setattr(
+        dag_discovery, "load_tabular",
+        lambda dataset, train, data_dir: load_tabular(
+            dataset, train=train, synthetic_n=400))
+
+    dag_discovery.main(["--dataset", "loan",
+                        "--assets_dir", str(tmp_path)])
+    dag_discovery.main(["--dataset", "covtype",
+                        "--assets_dir", str(tmp_path)])
+    assert calls == ["chisq", "chisq", "fisherz", "fisherz"]
