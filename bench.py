@@ -4,7 +4,8 @@ Measures the scan-compiled trainer (cdgvae_tpu.train.scanned): whole epochs
 of the flagship CDG-VAE pendulum model — forward + ELBO + alignment +
 backward + Adam at the reference hyperparameters (batch 128, 64px, node 4,
 factor [1,1,2]; reference main.py:93-107) — run as a single fused XLA
-program per 10 epochs on one real chip, on device-rendered pendulum data.
+program per EPOCHS_PER_CALL epochs on one real chip, on device-rendered
+pendulum data.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` compares against the PyTorch reference implementation
@@ -20,11 +21,13 @@ REFERENCE_IMGS_PER_SEC = 288.8  # scripts/bench_reference_torch.py, this host
 
 BATCH = 128
 N_DATA = 3712  # 29 full batches
-# 50 epochs (1450 steps) per device dispatch: the step is latency-bound at
-# ~0.26 ms, so the ~25 ms tunnel dispatch is ~25% overhead at 10 epochs/call
-# and <1% at 50 (measured 2026-08-18: 366k -> 486k imgs/s, the asymptote of
-# the per-step device time). Same program semantics — whole epochs, one scan.
-EPOCHS_PER_CALL = 50
+# 200 epochs (5800 steps) per device dispatch: the step is latency-bound at
+# ~0.25 ms, so the ~25-35 ms tunnel dispatch round trip is ~25% overhead at
+# 10 epochs/call, ~6% at 50, and ~2% at 200 (measured sweep 2026-08-18:
+# 10 -> 366k, 50 -> 480k, 100 -> 503k, 200 -> 514k imgs/s; extrapolated
+# pure-device asymptote ~526k). Same program semantics — whole epochs, one
+# scan per dispatch; only the outer scan length changes.
+EPOCHS_PER_CALL = 200
 
 
 def main():
