@@ -57,6 +57,11 @@ def add_infra_args(parser: argparse.ArgumentParser):
                              "scan-compiled trainer (the reference's exact "
                              "protocol incl. partial final batches; much "
                              "slower: one dispatch per batch)")
+    parser.add_argument("--profile", default="", type=str, metavar="DIR",
+                        help="write a jax.profiler (XLA op-level, "
+                             "TensorBoard-loadable) trace of the training "
+                             "drive to DIR (scanned/online paths; see "
+                             "utils/profiling.py)")
     return parser
 
 
@@ -215,16 +220,18 @@ def run_online_training(config, *, loss_fn, optimizer, state, k_train,
     run = make_online_run_from_loss(loss_fn, optimizer, sample_batch,
                                     steps_per_epoch, **kw)
 
-    for epoch in range(start_epoch, config["epochs"]):
-        extra = (x_l, y_l) if semi else ()
-        p, o, ms = run(state[0], state[1], *extra, k_train,
-                       epoch * steps_per_epoch)
-        state = (p, o)
-        on_epoch(epoch, {k: float(np.mean(np.asarray(v)))
-                         for k, v in ms.items()})
-        if post_epoch is not None and (post_epoch_pred is None
-                                       or post_epoch_pred(epoch)):
-            post_epoch(state, epoch)
+    from ..utils.profiling import trace
+    with trace(config.get("profile") or None):
+        for epoch in range(start_epoch, config["epochs"]):
+            extra = (x_l, y_l) if semi else ()
+            p, o, ms = run(state[0], state[1], *extra, k_train,
+                           epoch * steps_per_epoch)
+            state = (p, o)
+            on_epoch(epoch, {k: float(np.mean(np.asarray(v)))
+                             for k, v in ms.items()})
+            if post_epoch is not None and (post_epoch_pred is None
+                                           or post_epoch_pred(epoch)):
+                post_epoch(state, epoch)
     return state
 
 
@@ -290,11 +297,14 @@ def run_scanned_training(config, *, raw_step, state, data, k_train, mesh,
             mesh, x, y, make_loss(), optimizer, config["batch_size"],
             post_update=post_update)
     run = run_scanned_chunks_pair if pair else run_scanned_chunks
-    return run(raw_step, state, x, y, k_train,
-               epochs=config["epochs"], start_epoch=start_epoch,
-               batch_size=config["batch_size"], chunk=chunk,
-               on_epoch=on_epoch, post_epoch=post_epoch,
-               post_epoch_pred=post_epoch_pred, make_runner=make_runner)
+    from ..utils.profiling import trace
+    with trace(config.get("profile") or None):
+        return run(raw_step, state, x, y, k_train,
+                   epochs=config["epochs"], start_epoch=start_epoch,
+                   batch_size=config["batch_size"], chunk=chunk,
+                   on_epoch=on_epoch, post_epoch=post_epoch,
+                   post_epoch_pred=post_epoch_pred,
+                   make_runner=make_runner)
 
 
 def run_scanned_training_semi(config, *, raw_step, state, data, k_train,
@@ -323,11 +333,13 @@ def run_scanned_training_semi(config, *, raw_step, state, data, k_train,
             return make_scanned_epochs_semi(raw_step, bs, bs_l,
                                             n_epochs_per_call=n)
 
-    return run_scanned_chunks(
-        raw_step, state, x_u, y_l, k_train,
-        epochs=config["epochs"], start_epoch=start_epoch,
-        batch_size=bs, chunk=chunk, on_epoch=on_epoch,
-        batch_args=(x_u, x_l, y_l), make_runner=make_runner)
+    from ..utils.profiling import trace
+    with trace(config.get("profile") or None):
+        return run_scanned_chunks(
+            raw_step, state, x_u, y_l, k_train,
+            epochs=config["epochs"], start_epoch=start_epoch,
+            batch_size=bs, chunk=chunk, on_epoch=on_epoch,
+            batch_args=(x_u, x_l, y_l), make_runner=make_runner)
 
 
 def sharded_scan_setup_semi(mesh, x_u, x_l, y_l, loss_fn, optimizer,

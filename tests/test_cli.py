@@ -464,3 +464,18 @@ def test_celeba_dp_bf16(workdir):
                       "--data_dir", "/nonexistent", "--assets_dir", out])
     assert os.path.exists(os.path.join(out, "celeba_CDGVAE_linear",
                                        "state.pkl"))
+
+
+def test_profile_flag_writes_trace(workdir):
+    """--profile DIR writes a jax.profiler trace of the scanned training
+    drive (the SURVEY §5 tracing subsystem, reachable from every training
+    CLI via add_infra_args)."""
+    from cdgvae_tpu.cli import main
+    out = os.path.join(workdir, "prof_run")
+    trace_dir = os.path.join(workdir, "trace")
+    main.main(SMALL + ["--model", "CDGVAE", "--epochs", "1",
+                       "--assets_dir", out, "--profile", trace_dir])
+    profiles = []
+    for root, _, files in os.walk(trace_dir):
+        profiles.extend(f for f in files if f.endswith(".xplane.pb"))
+    assert profiles, f"no .xplane.pb written under {trace_dir}"
