@@ -1,0 +1,85 @@
+"""Parse jax.profiler xplane traces and rank XLA ops by device time.
+
+The traces written by ``--profile DIR`` (any training CLI) or
+``utils.profiling.trace`` are TensorBoard-loadable, but this environment's
+tensorboard-plugin converter is incompatible with its TF build — so the
+``.xplane.pb`` protobuf is parsed directly
+(tensorflow.tsl.profiler.protobuf.xplane_pb2; docs/PERF.md "How the 2× was
+found").
+
+CAVEATS on reading the output (docs/PERF.md measurement rules):
+* Trace lines of a TPU plane NEST (module > while-loop > fused op), so the
+  flat per-op totals double-count — use them to RANK ops; read absolute
+  step time from the top-level while-loop rows.
+* Async ``copy-start`` rows measure in-flight time that overlaps compute
+  (e.g. per-dispatch param staging over the tunnel), not critical-path work.
+"""
+from __future__ import annotations
+
+import glob
+
+
+def load_xspace(trace_dir: str):
+    """Load the newest ``.xplane.pb`` under ``trace_dir`` (recursive)."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))
+    if not paths:
+        raise FileNotFoundError(f"no .xplane.pb under {trace_dir}")
+    xs = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+    return xs
+
+
+def device_op_totals(xspace, plane_filter: str = "TPU",
+                     line_filter: str = "XLA Ops") -> dict[str, float]:
+    """Sum event durations (ms) per op name over the device planes whose
+    name contains ``plane_filter`` (case-insensitive), restricted to trace
+    lines whose name contains ``line_filter``.
+
+    The default keeps only the ``XLA Ops`` line: a TPU plane also carries
+    ``Steps`` (step markers spanning host idle between dispatches — 100×
+    the real device time on a tunnel backend) and ``Async XLA Ops``
+    (in-flight copy spans that overlap compute); both would corrupt a flat
+    sum. Pass ``line_filter="Async"`` to look at the async copies, or
+    ``""`` for everything.
+    """
+    totals: dict[str, float] = {}
+    needle = plane_filter.lower()
+    line_needle = line_filter.lower()
+    for plane in xspace.planes:
+        if needle not in plane.name.lower():
+            continue
+        for line in plane.lines:
+            if line_needle and line_needle not in line.name.lower():
+                continue
+            for ev in line.events:
+                name = plane.event_metadata[ev.metadata_id].name
+                totals[name] = totals.get(name, 0.0) + ev.duration_ps / 1e9
+    return totals
+
+
+def rank_ops(trace_dir: str, top: int = 25, plane_filter: str = "TPU",
+             line_filter: str = "XLA Ops") -> list[tuple[str, float]]:
+    """Top device ops of a trace as (name, total ms), descending."""
+    totals = device_op_totals(load_xspace(trace_dir), plane_filter,
+                              line_filter)
+    return sorted(totals.items(), key=lambda kv: -kv[1])[:top]
+
+
+def print_ranking(trace_dir: str, top: int = 25, steps: int | None = None,
+                  plane_filter: str = "TPU", line_filter: str = "XLA Ops"):
+    """Human-readable ranking (the scripts/profile_step.py report)."""
+    totals = device_op_totals(load_xspace(trace_dir), plane_filter,
+                              line_filter)
+    total_ms = sum(totals.values())
+    head = f"total device time: {total_ms:.2f} ms"
+    if steps:
+        head += f" over {steps} steps ({total_ms / steps * 1e3:.1f} us/step)"
+    print(head + " (nested lines double-count: RANK with this, read "
+          "absolute step time from the top-level while-loop rows)")
+    for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{ms:9.3f} ms  {100 * ms / max(total_ms, 1e-12):5.1f}%  "
+              f"{name[:100]}")
+    return totals

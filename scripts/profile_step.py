@@ -14,9 +14,7 @@ Measured 2026-08-17: the two scan while-loops ≈ 0.41 ms/step, consistent
 with docs/PERF.md's latency-bound speed-of-light accounting; no new
 hotspot since the band-sliced decoder fix.
 """
-import glob
 import sys
-from collections import defaultdict
 
 import numpy as np
 
@@ -55,28 +53,8 @@ def main():
                                    jax.random.key(1), 10)
         jax.block_until_ready(m["loss"])
 
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
-    paths = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))
-    if not paths:
-        print("no xplane found"); return
-    xs = xplane_pb2.XSpace()
-    with open(paths[-1], "rb") as f:
-        xs.ParseFromString(f.read())
-    totals = defaultdict(float)
-    for plane in xs.planes:
-        if "TPU" not in plane.name and "tpu" not in plane.name:
-            continue
-        for line in plane.lines:
-            for ev in line.events:
-                name = plane.event_metadata[ev.metadata_id].name
-                totals[name] += ev.duration_ps / 1e9  # ms
-    top = sorted(totals.items(), key=lambda kv: -kv[1])[:25]
-    total_ms = sum(totals.values())
-    steps = (3712 // 128) * 10
-    print(f"total device time: {total_ms:.2f} ms over {steps} steps "
-          f"({total_ms / steps * 1e3:.1f} us/step)")
-    for name, ms in top:
-        print(f"{ms:9.3f} ms  {100 * ms / total_ms:5.1f}%  {name[:100]}")
+    from cdgvae_tpu.utils.xplane import print_ranking
+    print_ranking(trace_dir, top=25, steps=(3712 // 128) * 10)
 
 
 if __name__ == "__main__":
