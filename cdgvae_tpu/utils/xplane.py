@@ -83,3 +83,10 @@ def print_ranking(trace_dir: str, top: int = 25, steps: int | None = None,
         print(f"{ms:9.3f} ms  {100 * ms / max(total_ms, 1e-12):5.1f}%  "
               f"{name[:100]}")
     return totals
+
+
+if __name__ == "__main__":  # python -m cdgvae_tpu.utils.xplane TRACE_DIR
+    import sys
+
+    print_ranking(sys.argv[1] if len(sys.argv) > 1 else "/tmp/xprof",
+                  top=int(sys.argv[2]) if len(sys.argv) > 2 else 25)
