@@ -20,6 +20,25 @@ import jax
 import jax.numpy as jnp
 
 
+def _flatten_items(x):
+    """Flatten dataset items to 2-D for the epoch-shuffle gather, returning
+    (x_flat [n, prod], item_shape). The per-step slice is reshaped back with
+    :func:`_unflatten_item` — a row-major bitcast both ways, identical
+    values. WHY: gathering image datasets in their item shape makes the
+    scan operand a 5-D [steps, batch, H, W, C] array, and XLA's layout
+    assignment inserts a whole-dataset layout-changing copy per epoch to
+    re-tile it (profiled at ~0.9 ms/epoch on 64px pendulum — the single
+    largest per-epoch op after the gather itself); a 3-D
+    [steps, batch, prod] operand keeps the gather's natural row-major
+    layout end to end. Measured +22% train throughput (515k -> 631k
+    imgs/s/chip, bit-identical losses; docs/PERF.md)."""
+    return x.reshape(x.shape[0], -1), x.shape[1:]
+
+
+def _unflatten_item(xi, item_shape):
+    return xi.reshape(xi.shape[0], *item_shape)
+
+
 def make_scanned_epochs(step_fn: Callable, batch_size: int,
                         n_epochs_per_call: int = 1) -> Callable:
     """Wrap a (params, opt_state, x, y, rng) -> (params, opt_state, metrics)
@@ -38,6 +57,7 @@ def make_scanned_epochs(step_fn: Callable, batch_size: int,
                 f"dataset ({n}) smaller than batch_size ({batch_size}); "
                 "clamp the batch size (run_scanned_chunks does) or use the "
                 "eager train_epoch driver")
+        xf, item_shape = _flatten_items(x)
 
         def epoch_body(carry, epoch_idx):
             params, opt_state = carry
@@ -46,11 +66,12 @@ def make_scanned_epochs(step_fn: Callable, batch_size: int,
             # 2-D index gather: produces [steps, batch, ...] directly (one
             # gather, no separate reshape/layout pass over the dataset)
             perm = perm.reshape(steps, batch_size)
-            xb, yb = x[perm], y[perm]
+            xb, yb = xf[perm], y[perm]
 
             def step_body(carry, inp):
                 params, opt_state = carry
                 xi, yi, bi = inp
+                xi = _unflatten_item(xi, item_shape)
                 skey = jax.random.fold_in(ekey, bi)
                 params, opt_state, metrics = step_fn(params, opt_state, xi,
                                                      yi, skey)
@@ -100,22 +121,26 @@ def make_scanned_epochs_semi(step_fn: Callable, batch_size: int,
                 "sizes or use the eager train_epoch_semi driver")
         need = steps * batch_size_l
         k_perms = -(-need // n_l)  # ceil: how many labeled reshuffles
+        xf_u, item_shape = _flatten_items(x_u)
+        xf_l, item_shape_l = _flatten_items(x_l)
 
         def epoch_body(carry, epoch_idx):
             params, opt_state = carry
             ekey = jax.random.fold_in(rng, epoch0 + epoch_idx)
             perm_u = jax.random.permutation(ekey, n_u)[: steps * batch_size]
-            xb_u = x_u[perm_u].reshape(steps, batch_size, *x_u.shape[1:])
+            xb_u = xf_u[perm_u].reshape(steps, batch_size, -1)
             lkey = jax.random.fold_in(ekey, 2**20)
             perm_l = jnp.concatenate(
                 [jax.random.permutation(jax.random.fold_in(lkey, k), n_l)
                  for k in range(k_perms)])[:need]
-            xb_l = x_l[perm_l].reshape(steps, batch_size_l, *x_l.shape[1:])
+            xb_l = xf_l[perm_l].reshape(steps, batch_size_l, -1)
             yb_l = y_l[perm_l].reshape(steps, batch_size_l, *y_l.shape[1:])
 
             def step_body(carry, inp):
                 params, opt_state = carry
                 xu, xl, yl, bi = inp
+                xu = _unflatten_item(xu, item_shape)
+                xl = _unflatten_item(xl, item_shape_l)
                 skey = jax.random.fold_in(ekey, bi)
                 params, opt_state, metrics = step_fn(
                     params, opt_state, xu, xl, yl, skey)
@@ -248,18 +273,20 @@ def make_sharded_scanned_epochs_from_loss(
                 f"local shard ({n_loc}) smaller than per-device batch "
                 f"({local_bs})")
         dev = jax.lax.axis_index("dp")
+        xf_loc, item_shape = _flatten_items(x_loc)
 
         def epoch_body(carry, epoch_idx):
             params, opt_state = carry
             ekey = jax.random.fold_in(
                 jax.random.fold_in(rng, epoch0 + epoch_idx), dev)
             perm = jax.random.permutation(ekey, n_loc)[: steps * local_bs]
-            xb = x_loc[perm].reshape(steps, local_bs, *x_loc.shape[1:])
+            xb = xf_loc[perm].reshape(steps, local_bs, -1)
             yb = y_loc[perm].reshape(steps, local_bs, *y_loc.shape[1:])
 
             def step_body(carry, inp):
                 params, opt_state = carry
                 xi, yi, bi = inp
+                xi = _unflatten_item(xi, item_shape)
                 skey = jax.random.fold_in(ekey, bi)
                 (_, metrics), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params, xi, yi, skey)
@@ -331,26 +358,28 @@ def make_sharded_scanned_epochs_semi_from_loss(
         need = steps * local_bs_l
         k_perms = -(-need // n_l)  # ceil: labeled reshuffles per epoch
         dev = jax.lax.axis_index("dp")
+        xf_u, item_shape = _flatten_items(xu_loc)
+        xf_l, item_shape_l = _flatten_items(xl_loc)
 
         def epoch_body(carry, epoch_idx):
             params, opt_state = carry
             ekey = jax.random.fold_in(
                 jax.random.fold_in(rng, epoch0 + epoch_idx), dev)
             perm_u = jax.random.permutation(ekey, n_u)[: steps * local_bs]
-            xb_u = xu_loc[perm_u].reshape(steps, local_bs,
-                                          *xu_loc.shape[1:])
+            xb_u = xf_u[perm_u].reshape(steps, local_bs, -1)
             lkey = jax.random.fold_in(ekey, 2**20)
             perm_l = jnp.concatenate(
                 [jax.random.permutation(jax.random.fold_in(lkey, k), n_l)
                  for k in range(k_perms)])[:need]
-            xb_l = xl_loc[perm_l].reshape(steps, local_bs_l,
-                                          *xl_loc.shape[1:])
+            xb_l = xf_l[perm_l].reshape(steps, local_bs_l, -1)
             yb_l = yl_loc[perm_l].reshape(steps, local_bs_l,
                                           *yl_loc.shape[1:])
 
             def step_body(carry, inp):
                 params, opt_state = carry
                 xu, xl, yl, bi = inp
+                xu = _unflatten_item(xu, item_shape)
+                xl = _unflatten_item(xl, item_shape_l)
                 skey = jax.random.fold_in(ekey, bi)
                 (_, metrics), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params, xu, xl, yl, skey)
