@@ -36,7 +36,33 @@ def _flatten_items(x):
 
 
 def _unflatten_item(xi, item_shape):
-    return xi.reshape(xi.shape[0], *item_shape)
+    xi = xi.reshape(xi.shape[0], *item_shape)
+    if xi.dtype == jnp.uint8:
+        # uint8 dataset storage (quantize_images): decode in-step to the
+        # reference's (u8 - 127.5)/127.5 range (modules/datasets.py:28)
+        xi = (xi.astype(jnp.float32) - 127.5) / 127.5
+    return xi
+
+
+def quantize_images(x):
+    """[-1,1] float images -> uint8 dataset storage (4x less device memory).
+
+    Exactly the reference's own data representation: its datasets are uint8
+    PNGs normalized ``(x - 127.5)/127.5`` at load (reference
+    modules/datasets.py:28, png_io round-trip tested in test_png_io). Every
+    scanned trainer decodes uint8 batches back to that float range inside
+    the step (:func:`_unflatten_item`). For data that came from PNGs the
+    round trip is EXACT; for the continuous device renderer it is a
+    <=1/255-per-pixel quantization, i.e. training on the renderer's PNG
+    export instead of its float output.
+
+    This is a CAPACITY option, not a speed one: at pendulum scale it
+    measured 15% SLOWER (631k -> 534k imgs/s/chip — the latency-bound step
+    pays the per-step decode and the byte-granularity gather more than it
+    saves in HBM traffic; docs/PERF.md). Use it when the dataset would not
+    otherwise fit in HBM.
+    """
+    return jnp.clip(jnp.round(x * 127.5 + 127.5), 0, 255).astype(jnp.uint8)
 
 
 def make_scanned_epochs(step_fn: Callable, batch_size: int,

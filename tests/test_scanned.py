@@ -36,6 +36,98 @@ def test_scanned_epochs_run_and_learn():
     assert {"loss", "recon", "KL", "alignment"}.issubset(m2.keys())
 
 
+def _jit_decode(u8):
+    """The in-step uint8 decode as its own program — XLA compiles
+    (x-127.5)/127.5 to the same instruction sequence it uses inside the
+    scanned trainer, so this (unlike the eager op-by-op decode, which
+    differs by 1 ULP on some pixels) is the bitwise ground truth for the
+    uint8-storage exactness tests."""
+    return jax.jit(lambda u: (u.astype(jnp.float32) - 127.5) / 127.5)(u8)
+
+
+def test_scanned_uint8_storage_matches_f32():
+    """uint8 dataset storage (quantize_images) trains the SAME trajectory as
+    the f32 trainer fed the decoded values: the in-step decode is exact
+    ((u8-127.5)/127.5 is the PNG loader's own math), but the u8 scan
+    operand changes XLA's downstream fusion choices, so params may drift by
+    ULPs per step — the same class of difference as recompiling under a new
+    XLA version. Losses must agree tightly; params closely."""
+    from cdgvae_tpu.train.scanned import quantize_images
+
+    model, _ = build_pendulum_model(CFG)
+    opt = optax.adam(1e-3)
+    kx, ky = jax.random.split(jax.random.key(1))
+    x = jnp.tanh(jax.random.normal(kx, (128, 16, 16, 3)))
+    y = jax.random.uniform(ky, (128, 5))
+    x_u8 = quantize_images(x)
+    assert x_u8.dtype == jnp.uint8
+    x_deq = _jit_decode(x_u8)
+
+    step = unjitted_step(model, opt, beta=0.1, lam=5.0)
+    run = make_scanned_epochs(step, batch_size=32, n_epochs_per_call=3)
+    outs = []
+    for xd in (x_u8, x_deq):
+        params = model.init(jax.random.key(0))
+        p, _, m = run(params, opt.init(params), xd, y, jax.random.key(2), 0)
+        outs.append((jax.device_get(p), np.asarray(m["loss"])))
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][0]),
+                    jax.tree_util.tree_leaves(outs[1][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)
+
+
+def test_sharded_scanned_uint8_storage_matches_f32():
+    """Same contract on the multi-chip trainer: a uint8-sharded dataset
+    trains the dequantized-f32 trajectory (losses tight, params close —
+    see the single-device test's docstring for the ULP caveat)."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from cdgvae_tpu.parallel.mesh import make_mesh
+    from cdgvae_tpu.train.scanned import (make_sharded_scanned_epochs,
+                                          quantize_images)
+
+    model, _ = build_pendulum_model(CFG)
+    mesh = make_mesh(8)
+    opt = optax.adam(1e-3)
+    run = make_sharded_scanned_epochs(model, opt, 0.1, 5.0, mesh,
+                                      batch_size=32, n_epochs_per_call=2)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.tanh(rng.normal(size=(128, 16, 16, 3))), jnp.float32)
+    y = jnp.asarray(rng.uniform(size=(128, 5)), jnp.float32)
+    x_u8 = quantize_images(x)
+    x_deq = _jit_decode(x_u8)
+    ys = jax.device_put(y, NamedSharding(mesh, P("dp")))
+
+    outs = []
+    for xd in (x_u8, x_deq):
+        xs = jax.device_put(xd, NamedSharding(mesh, P("dp")))
+        params = model.init(jax.random.key(0))
+        p, _, ms = run(params, opt.init(params), xs, ys, jax.random.key(1),
+                       0)
+        outs.append((jax.device_get(p), np.asarray(ms["loss"])))
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][0]),
+                    jax.tree_util.tree_leaves(outs[1][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)
+
+
+def test_uint8_quantize_png_roundtrip_exact():
+    """For PNG-sourced data (the reference's own representation) the u8
+    storage round trip is EXACT: quantize(decode(u)) == u for every byte,
+    and the in-jit decode matches the png_io loader's values to 1 ULP."""
+    from cdgvae_tpu.train.scanned import quantize_images
+
+    u = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, size=(64, 8, 8, 3), dtype=np.uint8))
+    x = _jit_decode(u)
+    np.testing.assert_array_equal(np.asarray(quantize_images(x)),
+                                  np.asarray(u))
+    host = (np.asarray(u, np.float32) - 127.5) / 127.5
+    np.testing.assert_allclose(np.asarray(x), host, atol=1.3e-7, rtol=0)
+
+
 def test_scanned_semi_runs_and_improves():
     """Semi-supervised scanned trainer: labeled stream cycles correctly
     (n_l < steps*batch_sizeL forces multiple reshuffles) and loss drops."""
