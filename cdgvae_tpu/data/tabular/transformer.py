@@ -58,17 +58,60 @@ class OneHotEncoder:
         return np.array([self.dummies[i] for i in idx])
 
 
+MAX_DECIMALS = 14  # float64 resolves ~15 significant decimal digits
+
+
+def learn_rounding_digits(data: np.ndarray) -> int | None:
+    """Number of decimal places the column actually uses, or None when the
+    data has no decimals / uses more precision than float64 resolves
+    (FloatFormatter._learn_rounding_digits semantics,
+    reference tabular/modules/numerical.py:79-90)."""
+    finite = data[np.isfinite(data)]
+    if len(finite) == 0 or (finite % 1 == 0).all():
+        return None
+    if not (finite == finite.round(MAX_DECIMALS)).all():
+        return None
+    for decimal in range(MAX_DECIMALS + 1):
+        if (finite == finite.round(decimal)).all():
+            return decimal
+    return None
+
+
 class ClusterBasedNormalizer:
-    """Mode-specific normalization via a Bayesian Gaussian mixture."""
+    """Mode-specific normalization via a Bayesian Gaussian mixture.
+
+    ``learn_rounding_scheme`` / ``enforce_min_max_values`` mirror the
+    reference FloatFormatter flags (numerical.py:119-133, 157-182):
+    reverse_transform rounds to the fitted decimal place and/or clips to
+    the fitted [min, max]. Integer-dtype columns are ALWAYS rounded to 0
+    digits on reverse (the reference does this regardless of the flag,
+    numerical.py:175-177) so the later dtype restore rounds instead of
+    truncating."""
 
     def __init__(self, max_clusters: int = 10,
-                 weight_threshold: float = 0.005, random_state: int = 0):
+                 weight_threshold: float = 0.005, random_state: int = 0,
+                 learn_rounding_scheme: bool = False,
+                 enforce_min_max_values: bool = False):
         self.max_clusters = max_clusters
         self.weight_threshold = weight_threshold
         self.random_state = random_state
+        self.learn_rounding_scheme = learn_rounding_scheme
+        self.enforce_min_max_values = enforce_min_max_values
+        self._rounding_digits = None
+        self._min_value = None
+        self._max_value = None
+        self._is_integer = False
 
     def fit(self, data: np.ndarray):
-        data = np.asarray(data, dtype=np.float64).ravel()
+        raw = np.asarray(data)
+        self._is_integer = raw.dtype.kind in "iu"
+        data = raw.astype(np.float64).ravel()
+        if self.enforce_min_max_values:
+            self._min_value = float(np.nanmin(data))
+            self._max_value = float(np.nanmax(data))
+        if self.learn_rounding_scheme:
+            self._rounding_digits = learn_rounding_digits(
+                data[~np.isnan(data)])
         # fill is ALWAYS the column mean: a NaN seen only at transform time
         # must not be imputed with 0.0 (far outside the fitted components)
         self._fill = float(np.nanmean(data))
@@ -115,13 +158,25 @@ class ClusterBasedNormalizer:
         return np.stack([chosen, selected.astype(np.float64)], axis=1)
 
     def reverse_transform(self, data: np.ndarray) -> np.ndarray:
-        """data [n, 2] (normalized, component) -> original values."""
+        """data [n, 2] (normalized, component) -> original values.
+
+        Applies the FloatFormatter reverse fidelity steps in the reference's
+        order (numerical.py:157-182): clip to fitted [min, max] when
+        ``enforce_min_max_values``, then round — to the learned decimal place
+        when ``learn_rounding_scheme``, and ALWAYS to 0 digits for
+        integer-dtype columns so the caller's dtype restore rounds instead
+        of truncating."""
         normalized = np.clip(data[:, 0], -1, 1)
         selected = data[:, 1].astype(int)
         means = self._bgm.means_.reshape(-1)[self.valid_component_indicator]
         stds = np.sqrt(self._bgm.covariances_).reshape(-1)[
             self.valid_component_indicator]
-        return normalized * STD_MULTIPLIER * stds[selected] + means[selected]
+        out = normalized * STD_MULTIPLIER * stds[selected] + means[selected]
+        if self.enforce_min_max_values:
+            out = np.clip(out, self._min_value, self._max_value)
+        if self.learn_rounding_scheme or self._is_integer:
+            out = out.round(self._rounding_digits or 0)
+        return out
 
 
 class DataTransformer:
@@ -129,9 +184,13 @@ class DataTransformer:
     discrete -> softmax one-hot."""
 
     def __init__(self, max_clusters: int = 10,
-                 weight_threshold: float = 0.005):
+                 weight_threshold: float = 0.005,
+                 learn_rounding_scheme: bool = False,
+                 enforce_min_max_values: bool = False):
         self._max_clusters = max_clusters
         self._weight_threshold = weight_threshold
+        self._learn_rounding_scheme = learn_rounding_scheme
+        self._enforce_min_max_values = enforce_min_max_values
 
     def fit(self, raw_data: pd.DataFrame, discrete_columns=(),
             random_state: int = 0):
@@ -157,8 +216,10 @@ class DataTransformer:
                 gm = ClusterBasedNormalizer(
                     max_clusters=min(len(raw_data), self._max_clusters),
                     weight_threshold=self._weight_threshold,
-                    random_state=random_state).fit(
-                        raw_data[column].to_numpy())
+                    random_state=random_state,
+                    learn_rounding_scheme=self._learn_rounding_scheme,
+                    enforce_min_max_values=self._enforce_min_max_values,
+                ).fit(raw_data[column].to_numpy())
                 k = gm.num_components
                 info = ColumnTransformInfo(
                     column, "continuous", gm,

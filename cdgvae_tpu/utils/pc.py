@@ -69,27 +69,38 @@ def chisq_pvalue(data: np.ndarray, i: int, j: int, cond: tuple) -> float:
 
 
 def pc(data: np.ndarray, alpha: float = 0.05, max_cond: int | None = None,
-       indep_test: str = "fisherz"):
+       indep_test="fisherz", num_vars: int | None = None):
     """PC-stable. ``indep_test``: 'fisherz' (continuous, partial
-    correlation) or 'chisq' (categorical). Returns (graph, sepsets) where
-    graph is the CPDAG in causallearn encoding."""
-    data = np.asarray(data, dtype=np.float64)
-    n, d = data.shape
-    # guard constant columns
-    std = data.std(axis=0)
-    zdata = (data - data.mean(axis=0)) / np.where(std == 0, 1.0, std)
-    corr = np.corrcoef(zdata, rowvar=False)
-    corr = np.nan_to_num(corr, nan=0.0)
-    np.fill_diagonal(corr, 1.0)
-
-    if indep_test == "fisherz":
-        def ci_pvalue(i, j, cond):
-            return fisher_z_pvalue(corr, n, i, j, cond)
-    elif indep_test == "chisq":
-        def ci_pvalue(i, j, cond):
-            return chisq_pvalue(data, i, j, cond)
+    correlation), 'chisq' (categorical), or a callable
+    ``(i, j, cond) -> pvalue`` (e.g. a d-separation oracle for
+    correctness validation — pass ``num_vars`` and ``data=None`` then).
+    Returns (graph, sepsets) where graph is the CPDAG in causallearn
+    encoding."""
+    if callable(indep_test):
+        if num_vars is None:
+            if data is None:
+                raise ValueError("callable indep_test needs num_vars or data")
+            num_vars = np.asarray(data).shape[1]
+        d = num_vars
+        ci_pvalue = indep_test
     else:
-        raise ValueError(f"unknown indep_test {indep_test}")
+        data = np.asarray(data, dtype=np.float64)
+        n, d = data.shape
+        # guard constant columns
+        std = data.std(axis=0)
+        zdata = (data - data.mean(axis=0)) / np.where(std == 0, 1.0, std)
+        corr = np.corrcoef(zdata, rowvar=False)
+        corr = np.nan_to_num(corr, nan=0.0)
+        np.fill_diagonal(corr, 1.0)
+
+        if indep_test == "fisherz":
+            def ci_pvalue(i, j, cond):
+                return fisher_z_pvalue(corr, n, i, j, cond)
+        elif indep_test == "chisq":
+            def ci_pvalue(i, j, cond):
+                return chisq_pvalue(data, i, j, cond)
+        else:
+            raise ValueError(f"unknown indep_test {indep_test}")
 
     adj = np.ones((d, d), dtype=bool)
     np.fill_diagonal(adj, False)
@@ -195,6 +206,147 @@ def pc(data: np.ndarray, alpha: float = 0.05, max_cond: int | None = None,
             elif undirected[i, j]:
                 graph[i, j] = -1
     return graph, sepset
+
+
+def d_separated(dag: np.ndarray, i: int, j: int, cond) -> bool:
+    """Exact d-separation test on a known DAG via ancestral moralization
+    (Lauritzen): restrict to the ancestral set of {i, j} ∪ cond, moralize
+    (undirect all edges + marry co-parents), delete cond, and check whether
+    i and j are still connected. Dependency-free graphical oracle used to
+    validate the PC implementation (the reference trusts causallearn here,
+    tabular/inference.py:184-197; we must defend our own)."""
+    dag = np.asarray(dag, dtype=bool)
+    d = dag.shape[0]
+    cond = set(cond)
+
+    # ancestral closure of {i, j} | cond
+    anc = {i, j} | cond
+    frontier = list(anc)
+    while frontier:
+        node = frontier.pop()
+        for p in range(d):
+            if dag[p, node] and p not in anc:
+                anc.add(p)
+                frontier.append(p)
+
+    # moralize the induced subgraph
+    moral = np.zeros((d, d), dtype=bool)
+    anc_list = sorted(anc)
+    for a in anc_list:
+        for b in anc_list:
+            if dag[a, b]:
+                moral[a, b] = moral[b, a] = True
+    for child in anc_list:
+        parents = [p for p in anc_list if dag[p, child]]
+        for p1, p2 in combinations(parents, 2):
+            moral[p1, p2] = moral[p2, p1] = True
+
+    # BFS from i to j avoiding cond
+    if i in cond or j in cond:
+        raise ValueError("endpoints cannot be in the conditioning set")
+    seen = {i}
+    frontier = [i]
+    while frontier:
+        node = frontier.pop()
+        for nxt in range(d):
+            if moral[node, nxt] and nxt not in seen and nxt not in cond:
+                if nxt == j:
+                    return False
+                seen.add(nxt)
+                frontier.append(nxt)
+    return True
+
+
+def oracle_ci_test(dag: np.ndarray):
+    """Wrap a true DAG as a PC-compatible CI test: p-value 1.0 when the
+    pair is d-separated given cond (independent), 0.0 otherwise."""
+    def ci(i, j, cond):
+        return 1.0 if d_separated(dag, i, j, cond) else 0.0
+    return ci
+
+
+def dag_to_cpdag(dag: np.ndarray) -> np.ndarray:
+    """True CPDAG of a DAG via Chickering (1995)'s compelled-edge labeling.
+
+    Deliberately a DIFFERENT algorithm from the skeleton + v-structure +
+    Meek closure used inside :func:`pc`, so the two can cross-validate:
+    edges are visited in a topological total order and labeled
+    compelled/reversible by the parent-set comparison rules. Returns the
+    CPDAG in causallearn encoding (see module docstring)."""
+    dag = np.asarray(dag, dtype=bool)
+    d = dag.shape[0]
+
+    # topological order (Kahn)
+    indeg = dag.sum(axis=0).astype(int)
+    order, stack = [], [v for v in range(d) if indeg[v] == 0]
+    while stack:
+        v = stack.pop()
+        order.append(v)
+        for w in range(d):
+            if dag[v, w]:
+                indeg[w] -= 1
+                if indeg[w] == 0:
+                    stack.append(w)
+    if len(order) != d:
+        raise ValueError("input graph is not a DAG")
+    topo_pos = {v: k for k, v in enumerate(order)}
+
+    # total order on edges: by topo position of head (y), then REVERSE topo
+    # position of tail (x) — Chickering's "maximum edge ordering"
+    edges = [(x, y) for x in range(d) for y in range(d) if dag[x, y]]
+    edges.sort(key=lambda e: (topo_pos[e[1]], -topo_pos[e[0]]))
+
+    UNKNOWN, COMPELLED, REVERSIBLE = 0, 1, 2
+    label = {e: UNKNOWN for e in edges}
+
+    for (x, y) in edges:
+        if label[(x, y)] != UNKNOWN:
+            continue
+        done = False
+        # rule: for every w -> x labeled COMPELLED
+        for w in range(d):
+            if dag[w, x] and label.get((w, x)) == COMPELLED:
+                if not dag[w, y]:
+                    # w is a parent of x but not of y: x -> y and every
+                    # edge into y becomes compelled
+                    for p in range(d):
+                        if dag[p, y]:
+                            label[(p, y)] = COMPELLED
+                    done = True
+                    break
+                else:
+                    label[(w, y)] = COMPELLED
+        if done:
+            continue
+        # if there exists z -> y with z != x and z not a parent of x:
+        # x -> y (and all edges into y) compelled; else all reversible
+        exists_z = any(dag[z, y] and z != x and not dag[z, x]
+                       for z in range(d))
+        for p in range(d):
+            if dag[p, y] and label[(p, y)] == UNKNOWN:
+                label[(p, y)] = COMPELLED if exists_z else REVERSIBLE
+
+    graph = np.zeros((d, d), dtype=int)
+    for (x, y), lab in label.items():
+        if lab == COMPELLED:
+            graph[x, y] = -1
+            graph[y, x] = 1
+        else:
+            graph[x, y] = graph[y, x] = -1
+    return graph
+
+
+def random_dag(rng: np.random.Generator, d: int,
+               edge_prob: float) -> np.ndarray:
+    """Random DAG on d nodes: sample a random permutation as the topological
+    order and include each forward edge independently with edge_prob."""
+    perm = rng.permutation(d)
+    dag = np.zeros((d, d), dtype=bool)
+    for a in range(d):
+        for b in range(a + 1, d):
+            if rng.random() < edge_prob:
+                dag[perm[a], perm[b]] = True
+    return dag
 
 
 def cpdag_shd(G1: np.ndarray, G2: np.ndarray) -> int:

@@ -272,3 +272,65 @@ def test_dag_discovery_uses_reference_indep_tests(monkeypatch, tmp_path):
     dag_discovery.main(["--dataset", "covtype",
                         "--assets_dir", str(tmp_path)])
     assert calls == ["chisq", "chisq", "fisherz", "fisherz"]
+
+
+# ---------------- FloatFormatter reverse fidelity (numerical.py:95-182)
+
+
+def test_learn_rounding_digits():
+    from cdgvae_tpu.data.tabular.transformer import learn_rounding_digits
+    assert learn_rounding_digits(np.array([1.0, 2.0, 3.0])) is None
+    assert learn_rounding_digits(np.array([1.25, 2.5])) == 2
+    assert learn_rounding_digits(np.array([0.123, 4.5, 6.0])) == 3
+    # beyond float64's resolvable decimals -> None (reference MAX_DECIMALS)
+    assert learn_rounding_digits(np.array([1 / 3])) is None
+    assert learn_rounding_digits(np.array([])) is None
+
+
+def test_integer_column_roundtrips_exactly():
+    # integer-dtype columns must come back as exact integers (rounded, not
+    # truncated by the dtype cast) through transform -> inverse_transform,
+    # regardless of the learn_rounding_scheme flag
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"n": rng.integers(10, 500, 800)})
+    tr = DataTransformer().fit(df, random_state=0)
+    dec = tr.inverse_transform(tr.transform(df))
+    assert dec["n"].dtype == df["n"].dtype
+    # every reversed value is a true round (no off-by-one truncation):
+    # compare against the float reverse path rounded explicitly
+    info = tr._column_transform_info_list[0]
+    enc = tr.transform(df)
+    pair = np.stack([enc[:, 0], np.argmax(enc[:, 1:], axis=1)], axis=1)
+    float_rev = (pair[:, 0].clip(-1, 1) * 4
+                 * np.sqrt(info.transform._bgm.covariances_).reshape(-1)[
+                     info.transform.valid_component_indicator][
+                         pair[:, 1].astype(int)]
+                 + info.transform._bgm.means_.reshape(-1)[
+                     info.transform.valid_component_indicator][
+                         pair[:, 1].astype(int)])
+    np.testing.assert_array_equal(dec["n"].to_numpy(),
+                                  np.round(float_rev, 0).astype(df["n"].dtype))
+
+
+def test_learn_rounding_scheme_on_floats():
+    rng = np.random.default_rng(6)
+    vals = np.round(rng.normal(50, 10, 600), 2)
+    df = pd.DataFrame({"price": vals})
+    tr = DataTransformer(learn_rounding_scheme=True).fit(df, random_state=0)
+    dec = tr.inverse_transform(tr.transform(df))
+    out = dec["price"].to_numpy()
+    # every reversed value respects the learned 2-decimal grid
+    np.testing.assert_array_equal(out, np.round(out, 2))
+
+
+def test_enforce_min_max_values():
+    rng = np.random.default_rng(7)
+    vals = rng.uniform(10.0, 20.0, 500)
+    df = pd.DataFrame({"v": vals})
+    tr = DataTransformer(enforce_min_max_values=True).fit(df, random_state=0)
+    enc = tr.transform(df)
+    # force extreme normalized scalars so the raw reverse would overshoot
+    enc[:, 0] = np.where(np.arange(len(enc)) % 2 == 0, 1.0, -1.0)
+    dec = tr.inverse_transform(enc)["v"].to_numpy()
+    assert dec.min() >= vals.min() - 1e-12
+    assert dec.max() <= vals.max() + 1e-12
