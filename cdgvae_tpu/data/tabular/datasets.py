@@ -21,21 +21,23 @@ import pandas as pd
 
 
 def interleave_float(a: float, b: float) -> float:
-    """Digit-interleave two floats in [0,1) into one float — the reference's
-    bijective label construction (loan_datasets.py:15-30)."""
-    a_rest, b_rest = a, b
-    result = 0.0
-    dst_pos = 1.0
-    while a_rest != 0 or b_rest != 0:
-        dst_pos /= 10
-        a_rest *= 10
-        result += dst_pos * (a_rest // 1)
-        a_rest %= 1
-        dst_pos /= 10
-        b_rest *= 10
-        result += dst_pos * (b_rest // 1)
-        b_rest %= 1
-    return result
+    """Digit-interleave two floats in [0,1) into one float — the bijective
+    label construction the chain topologies depend on. The float op ORDER
+    below is the parity contract with the reference's digit loop
+    (loan_datasets.py:15-30): each decimal digit is peeled with *=10 // 1
+    %=1 and deposited at the next place value, alternating operands, so the
+    accumulated float64 representation error matches bit for bit."""
+    out, place = 0.0, 1.0
+    while a != 0 or b != 0:
+        place /= 10
+        a *= 10
+        out += place * (a // 1)
+        a %= 1
+        place /= 10
+        b *= 10
+        out += place * (b // 1)
+        b %= 1
+    return out
 
 
 def interleave_pairs(arr: np.ndarray) -> np.ndarray:

@@ -8,7 +8,10 @@ this encoder initializes randomly; the trunk can still be frozen
 (``freeze_trunk=True``, the reference's configuration — making it a fixed
 random-feature extractor) or trained end-to-end (``freeze_trunk=False``,
 usually the better offline choice). DEVIATION from reference: random trunk
-weights instead of ImageNet weights.
+weights instead of ImageNet weights — but when a user supplies a torchvision
+state dict, :meth:`ResNetEncoder.load_torch_weights` imports it (OIHW->HWIO
+kernel mapping, BN running stats honored via eval-mode normalization), fully
+restoring the reference configuration.
 """
 from __future__ import annotations
 
@@ -16,6 +19,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..nn import (batchnorm as _batchnorm,  # shared batch-stats BN
                  bn_init as _bn_init)
@@ -34,13 +38,25 @@ def _conv_init(key, in_ch, out_ch, k, dtype=jnp.float32):
 
 
 def _conv(p, x, stride=1):
+    # explicit symmetric padding (k//2 each side) rather than XLA "SAME":
+    # identical for stride 1, and for stride 2 it aligns the conv windows
+    # with torch's — required for imported torchvision weights to compute
+    # the same features ("SAME" pads asymmetrically on even inputs)
+    k = p["w"].shape[0]
+    pad = k // 2
     return jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=(stride, stride), padding="SAME",
+        x, p["w"], window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-
 def _bn(p, x):
+    if "mean" in p:
+        # imported running statistics (torchvision eval-mode BN): a frozen
+        # pretrained trunk must normalize with the stats the weights were
+        # trained against, not per-batch stats
+        return ((x - p["mean"]) * jax.lax.rsqrt(p["var"] + 1e-5)
+                * p["scale"] + p["bias"])
     return _batchnorm(x, p["scale"], p["bias"])
 
 
@@ -142,14 +158,86 @@ class ResNetEncoder:
         }
         return p
 
+    def load_torch_weights(self, params: Params, state_dict,
+                           use_running_stats: bool = True) -> Params:
+        """Import a torchvision-layout ResNet state dict into this pytree.
+
+        Closes the reference's pretrained-encoder gap
+        (celeba/module/model.py:117-125: frozen ImageNet resnet18 + new fc):
+        when a user supplies torchvision weights (a ``state_dict`` of torch
+        tensors or numpy arrays keyed ``conv1.weight``, ``bn1.*``,
+        ``layer{1-4}.{i}.{conv,bn}{1-3}.*``, ``downsample.{0,1}.*``), this
+        maps conv kernels OIHW -> HWIO and BatchNorm affine params onto the
+        matching entries of ``params``.
+
+        ``use_running_stats=True`` additionally stores each BN's running
+        mean/var, which switches that BN to eval-mode normalization (see
+        :func:`_bn`) — the correct semantics for a frozen pretrained trunk.
+        The fc head is NOT imported (the reference replaces it); the caller
+        keeps its freshly initialized head. Returns a new params pytree.
+        """
+        def to_np(v):
+            return (v.detach().cpu().numpy() if hasattr(v, "detach")
+                    else np.asarray(v))
+
+        def conv(prefix):
+            w = to_np(state_dict[prefix + ".weight"])
+            return {"w": jnp.asarray(
+                w.transpose(2, 3, 1, 0), self.dtype)}  # OIHW -> HWIO
+
+        def bn(prefix):
+            p = {"scale": jnp.asarray(to_np(state_dict[prefix + ".weight"]),
+                                      self.dtype),
+                 "bias": jnp.asarray(to_np(state_dict[prefix + ".bias"]),
+                                     self.dtype)}
+            if use_running_stats:
+                p["mean"] = jnp.asarray(
+                    to_np(state_dict[prefix + ".running_mean"]), self.dtype)
+                p["var"] = jnp.asarray(
+                    to_np(state_dict[prefix + ".running_var"]), self.dtype)
+            return p
+
+        new = dict(params)
+        new["stem_conv"] = conv("conv1")
+        new["stem_bn"] = bn("bn1")
+        n_inner = 3 if self.bottleneck else 2
+        for li, n in enumerate(self.layers):
+            for bi in range(n):
+                src = f"layer{li + 1}.{bi}"
+                blk = dict(params[f"layer{li}_{bi}"])
+                for ci in range(1, n_inner + 1):
+                    blk[f"conv{ci}"] = conv(f"{src}.conv{ci}")
+                    blk[f"bn{ci}"] = bn(f"{src}.bn{ci}")
+                if "down_conv" in blk:
+                    blk["down_conv"] = conv(f"{src}.downsample.0")
+                    blk["down_bn"] = bn(f"{src}.downsample.1")
+                new[f"layer{li}_{bi}"] = blk
+
+        # shape guard: every pre-existing leaf must keep its shape
+        import jax.tree_util as jtu
+        for key, old_sub in params.items():
+            if key == "fc":
+                continue
+            for path, old_leaf in jtu.tree_flatten_with_path(old_sub)[0]:
+                new_leaf = new[key]
+                for p in path:
+                    new_leaf = new_leaf[p.key]
+                if new_leaf.shape != old_leaf.shape:
+                    raise ValueError(
+                        f"shape mismatch at {key}{jtu.keystr(path)}: "
+                        f"imported {new_leaf.shape} vs {old_leaf.shape}")
+        return new
+
     def __call__(self, params: Params, x: jax.Array) -> jax.Array:
         trunk = {k: v for k, v in params.items() if k != "fc"}
         if self.freeze_trunk:
             trunk = jax.lax.stop_gradient(trunk)
         h = jax.nn.relu(_bn(trunk["stem_bn"],
                             _conv(trunk["stem_conv"], x, stride=2)))
+        # maxpool 3x3/2 with torch's symmetric padding (see _conv)
         h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max,
-                                  (1, 3, 3, 1), (1, 2, 2, 1), "SAME")
+                                  (1, 3, 3, 1), (1, 2, 2, 1),
+                                  ((0, 0), (1, 1), (1, 1), (0, 0)))
         block = _bottleneck if self.bottleneck else _basic_block
         for li, n in enumerate(self.layers):
             for bi in range(n):

@@ -36,10 +36,13 @@ def _flatten_items(x):
 
 
 def _unflatten_item(xi, item_shape):
+    """CONTRACT: uint8 means quantized image. Every scanned trainer treats
+    a uint8 dataset as `quantize_images` storage and decodes it in-step to
+    the reference's (u8 - 127.5)/127.5 range (modules/datasets.py:28).
+    Discrete/one-hot tabular data must therefore be passed as float — a
+    uint8 tabular array would be silently rescaled to [-1, 1)."""
     xi = xi.reshape(xi.shape[0], *item_shape)
     if xi.dtype == jnp.uint8:
-        # uint8 dataset storage (quantize_images): decode in-step to the
-        # reference's (u8 - 127.5)/127.5 range (modules/datasets.py:28)
         xi = (xi.astype(jnp.float32) - 127.5) / 127.5
     return xi
 
@@ -61,6 +64,10 @@ def quantize_images(x):
     pays the per-step decode and the byte-granularity gather more than it
     saves in HBM traffic; docs/PERF.md). Use it when the dataset would not
     otherwise fit in HBM.
+
+    Encode math is the device twin of ``png_io._to_uint8`` (numpy, host
+    side); the two are asserted equal in test_scanned
+    (test_quantize_matches_png_encoder) so they cannot drift.
     """
     return jnp.clip(jnp.round(x * 127.5 + 127.5), 0, 255).astype(jnp.uint8)
 
@@ -69,6 +76,9 @@ def make_scanned_epochs(step_fn: Callable, batch_size: int,
                         n_epochs_per_call: int = 1) -> Callable:
     """Wrap a (params, opt_state, x, y, rng) -> (params, opt_state, metrics)
     step into a jitted multi-epoch runner.
+
+    uint8 ``x`` is decoded in-step as a quantized IMAGE (see
+    :func:`_unflatten_item`); pass tabular/one-hot data as float.
 
     Returns run(params, opt_state, x, y, rng, epoch0) ->
         (params, opt_state, stacked-metrics dict averaged per epoch).
@@ -131,6 +141,9 @@ def make_scanned_epochs_semi(step_fn: Callable, batch_size: int,
     are always exactly ``batch_size_l`` (the eager path can yield a short
     batch at each cycle boundary). Use ``--eager`` / train_epoch_semi for
     the reference's exact protocol.
+
+    uint8 streams are decoded in-step as quantized IMAGES (see
+    :func:`_unflatten_item`); pass tabular/one-hot data as float.
 
     step_fn: raw (params, opt_state, x_u, x_l, y_l, rng) step.
     Returns run(params, opt_state, x_u, x_l, y_l, rng, epoch0).
@@ -279,6 +292,10 @@ def make_sharded_scanned_epochs_from_loss(
     the replicated params (e.g. the TVAE sigma clamp,
     reference tabular/modules/train.py:314).
 
+    uint8 ``x`` is decoded in-step as a quantized IMAGE (see
+    :func:`_unflatten_item`) — when using this builder with tabular/TVAE
+    losses, pass discrete/one-hot data as float, never uint8.
+
     Returns run(params, opt_state, x_sharded, y_sharded, rng, epoch0).
     """
     import optax
@@ -358,6 +375,9 @@ def make_sharded_scanned_epochs_semi_from_loss(
     each device shuffles/batches/cycles its OWN shard of both streams
     (per-shard shuffling deviation), one gradient pmean per step over ICI.
     Both global batch sizes split D ways.
+
+    uint8 streams are decoded in-step as quantized IMAGES (see
+    :func:`_unflatten_item`); pass tabular/one-hot data as float.
 
     Returns run(params, opt_state, x_u_sharded, x_l_sharded, y_l_sharded,
     rng, epoch0).

@@ -17,30 +17,36 @@ def set_random_seed(seed: int):
 
 
 def count_accuracy(B_true: np.ndarray, B_est: np.ndarray) -> dict:
-    """NOTEARS-style structure metrics between binary DAG adjacencies:
-    fdr, tpr, fpr, shd, nnz (reference modules/simulation.py:31-76)."""
-    if not ((B_est == 0) | (B_est == 1)).all():
+    """Structure-recovery metrics between DAG adjacencies: fdr, tpr, fpr,
+    shd, nnz. Same NOTEARS-lineage definitions as the reference
+    (modules/simulation.py:31-76, dead code there too), computed here on
+    boolean edge masks: an estimated edge is *correct* if the truth has it
+    with the same orientation, *reversed* if only the flipped edge exists,
+    and *spurious* if the skeleton lacks it entirely; SHD is the undirected
+    skeleton mismatch plus one per reversed edge."""
+    truth = np.asarray(B_true) != 0
+    est = np.asarray(B_est)
+    if not np.isin(est, (0, 1)).all():
         raise ValueError("B_est should take value in {0,1}")
-    if not is_dag(B_est):
+    if not is_dag(est):
         raise ValueError("B_est should be a DAG")
-    d = B_true.shape[0]
-    pred = np.flatnonzero(B_est == 1)
-    cond = np.flatnonzero(B_true)
-    cond_reversed = np.flatnonzero(B_true.T)
-    cond_skeleton = np.concatenate([cond, cond_reversed])
-    true_pos = np.intersect1d(pred, cond, assume_unique=True)
-    false_pos = np.setdiff1d(pred, cond_skeleton, assume_unique=True)
-    reverse = np.intersect1d(
-        np.setdiff1d(pred, cond, assume_unique=True), cond_reversed,
-        assume_unique=True)
-    pred_size = len(pred)
-    cond_neg_size = 0.5 * d * (d - 1) - len(cond)
-    fdr = float(len(reverse) + len(false_pos)) / max(pred_size, 1)
-    tpr = float(len(true_pos)) / max(len(cond), 1)
-    fpr = float(len(reverse) + len(false_pos)) / max(cond_neg_size, 1)
-    pred_lower = np.flatnonzero(np.tril(B_est + B_est.T))
-    cond_lower = np.flatnonzero(np.tril(B_true + B_true.T))
-    extra_lower = np.setdiff1d(pred_lower, cond_lower, assume_unique=True)
-    missing_lower = np.setdiff1d(cond_lower, pred_lower, assume_unique=True)
-    shd = len(extra_lower) + len(missing_lower) + len(reverse)
-    return {"fdr": fdr, "tpr": tpr, "fpr": fpr, "shd": shd, "nnz": pred_size}
+    est = est == 1
+    d = truth.shape[0]
+
+    correct = est & truth
+    flipped = est & truth.T & ~truth
+    spurious = est & ~(truth | truth.T)
+    n_wrong = int(flipped.sum() + spurious.sum())
+    n_pred = int(est.sum())
+    n_true = int(truth.sum())
+    n_negative = d * (d - 1) / 2 - n_true
+
+    lower = np.tril_indices(d)
+    skel_est = (est | est.T)[lower]
+    skel_true = (truth | truth.T)[lower]
+    shd = int((skel_est != skel_true).sum() + flipped.sum())
+
+    return {"fdr": n_wrong / max(n_pred, 1),
+            "tpr": float(correct.sum()) / max(n_true, 1),
+            "fpr": n_wrong / max(n_negative, 1),
+            "shd": shd, "nnz": n_pred}

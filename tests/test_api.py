@@ -1,5 +1,6 @@
 """High-level API tests: train tiny -> checkpoint -> load -> infer."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
@@ -75,6 +76,7 @@ def _tiny_celeba_loaded_model(tmp_path, init_key=0):
     return LoadedModel.load(ckpt)
 
 
+@pytest.mark.slow
 def test_loaded_model_celeba(tmp_path):
     """LoadedModel dispatches celeba checkpoints (dual latent, per-sample
     masks from the input channels); sampling is rejected with a clear
@@ -99,6 +101,7 @@ def test_loaded_model_celeba(tmp_path):
     assert m.reconstruct(x3).shape == (3, 32, 32, 3)
 
 
+@pytest.mark.slow
 def test_celeba_do_leakage_outside_masks_is_zero(tmp_path):
     """End-to-end structural invariant through the serving do-operator:
     do(z_j) may only change pixels inside the segmentation masks of the
@@ -184,6 +187,7 @@ def test_api_mesh_small_batch_buckets_to_device_multiple(tmp_path):
     assert m8.encode(x).shape == (3, 4)
 
 
+@pytest.mark.slow
 def test_loaded_model_tvae_decodes_to_data_space(tmp_path):
     """TVAE checkpoints must decode through tanh + DataTransformer inverse
     (reference tabular/inference_tvae.py:286-310), not return the raw

@@ -1,6 +1,7 @@
 """CelebA family tests: SAGAN blocks, ResNet encoder, dual-latent model,
 train step. Small sizes (32-64px) to stay CPU-friendly."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
@@ -35,6 +36,7 @@ def test_self_attn_shape_and_identity_at_init():
     np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
 
 
+@pytest.mark.slow
 def test_generator_output():
     gen = sagan.Generator(latent_dim=2, conv_dim=8, image_size=64)
     p = gen.init(jax.random.key(0))
@@ -59,6 +61,7 @@ def test_discriminator_mlp_variant():
     assert "block2" not in p2  # num_block respected (reference :371-374)
 
 
+@pytest.mark.slow
 def test_dc_discriminator_variant():
     # reference sagan.py:398-414; fc sized from real post-conv dims (the
     # reference's hardcoded 4*4 only matches image_size=32)
@@ -85,6 +88,7 @@ def test_resnet_encoder_freeze_trunk():
     assert float(jnp.abs(g["fc"]["w"]).max()) > 0.0
 
 
+@pytest.mark.slow
 def test_celeba_model_and_step():
     B = celeba_B(SMILE_NODES, 0)
     assert is_dag(B)
@@ -241,6 +245,7 @@ def test_preprocess_split_selection(tmp_path):
     assert sorted(tr + te) == list(range(6))
 
 
+@pytest.mark.slow
 def test_resnet_depth_variants():
     """All three reference depths (celeba/module/resnet.py ships 18/34/50)
     produce the right feature head; resnet50 uses bottleneck (4x) widths."""
@@ -257,6 +262,7 @@ def test_resnet_depth_variants():
     assert enc50.init(jax.random.key(1))["fc"]["w"].shape == (2048, 3)
 
 
+@pytest.mark.slow
 def test_celeba_bf16_step_keeps_f32_state():
     """Mixed precision: network in bf16, params/opt/losses f32; loss close
     to the f32 step's at init."""
@@ -296,3 +302,119 @@ def test_attractive_structure():
     out = model(params, jnp.asarray(x), rng=jax.random.key(1))
     assert out.xhat.shape == (2, 32, 32, 3)
     assert bool(jnp.all(jnp.isfinite(out.xhat)))
+
+
+# --------------------- torchvision weight import (models/resnet.py)
+
+
+def _random_resnet18_state_dict(rng, fc_out=1000):
+    """Random state dict in torchvision resnet18 layout/shapes."""
+    sd = {}
+
+    def conv(name, o, i, k):
+        sd[name + ".weight"] = rng.normal(size=(o, i, k, k)).astype(
+            np.float32) * 0.05
+
+    def bn(name, c):
+        sd[name + ".weight"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+        sd[name + ".bias"] = rng.normal(size=c).astype(np.float32) * 0.1
+        sd[name + ".running_mean"] = rng.normal(size=c).astype(
+            np.float32) * 0.1
+        sd[name + ".running_var"] = rng.uniform(0.5, 1.5, c).astype(
+            np.float32)
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    widths = [64, 128, 256, 512]
+    in_ch = 64
+    for li, w in enumerate(widths):
+        for bi in range(2):
+            p = f"layer{li + 1}.{bi}"
+            conv(p + ".conv1", w, in_ch, 3)
+            bn(p + ".bn1", w)
+            conv(p + ".conv2", w, w, 3)
+            bn(p + ".bn2", w)
+            if in_ch != w:
+                conv(p + ".downsample.0", w, in_ch, 1)
+                bn(p + ".downsample.1", w)
+            in_ch = w
+    sd["fc.weight"] = rng.normal(size=(fc_out, 512)).astype(np.float32)
+    sd["fc.bias"] = rng.normal(size=fc_out).astype(np.float32)
+    return sd
+
+
+def _torch_resnet18_features(sd, x_nchw):
+    """Independent torch-functional transcription of torchvision's
+    resnet18 EVAL-mode feature extractor (conv1..avgpool), driven straight
+    off the state dict. Validates the OIHW->HWIO mapping, the symmetric
+    padding, the stride placement, and the running-stats BN all at once."""
+    import torch
+    import torch.nn.functional as F
+
+    t = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+
+    def bnorm(name, h):
+        return F.batch_norm(h, t[name + ".running_mean"],
+                            t[name + ".running_var"], t[name + ".weight"],
+                            t[name + ".bias"], training=False, eps=1e-5)
+
+    h = F.conv2d(x_nchw, t["conv1.weight"], stride=2, padding=3)
+    h = F.relu(bnorm("bn1", h))
+    h = F.max_pool2d(h, kernel_size=3, stride=2, padding=1)
+    for li in range(4):
+        for bi in range(2):
+            p = f"layer{li + 1}.{bi}"
+            stride = 2 if (li > 0 and bi == 0) else 1
+            idn = h
+            o = F.conv2d(h, t[p + ".conv1.weight"], stride=stride,
+                         padding=1)
+            o = F.relu(bnorm(p + ".bn1", o))
+            o = F.conv2d(o, t[p + ".conv2.weight"], stride=1, padding=1)
+            o = bnorm(p + ".bn2", o)
+            if p + ".downsample.0.weight" in t:
+                idn = F.conv2d(h, t[p + ".downsample.0.weight"],
+                               stride=stride)
+                idn = bnorm(p + ".downsample.1", idn)
+            h = F.relu(o + idn)
+    return h.mean(dim=(2, 3))  # global average pool
+
+
+def test_load_torch_weights_matches_torch_forward():
+    torch = pytest.importorskip("torch")
+
+    rng = np.random.default_rng(0)
+    sd = _random_resnet18_state_dict(rng)
+    enc = ResNetEncoder(out_dim=7, depth="resnet18", freeze_trunk=True)
+    params = enc.init(jax.random.key(0))
+    params = enc.load_torch_weights(params, sd)
+
+    x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    feat_torch = _torch_resnet18_features(
+        sd, torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    # compare pre-fc features: run our trunk then invert the fc head
+    out = np.asarray(enc(params, jnp.asarray(x)))
+    w = np.asarray(params["fc"]["w"])
+    b = np.asarray(params["fc"]["b"])
+    expected = feat_torch @ w + b
+    np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-5)
+
+
+def test_load_torch_weights_keeps_fc_and_guards_shapes():
+    rng = np.random.default_rng(1)
+    sd = _random_resnet18_state_dict(rng)
+    enc = ResNetEncoder(out_dim=24, depth="resnet18")
+    params = enc.init(jax.random.key(0))
+    new = enc.load_torch_weights(params, sd)
+    # fc head untouched (the reference replaces it, model.py:117-125)
+    np.testing.assert_array_equal(np.asarray(new["fc"]["w"]),
+                                  np.asarray(params["fc"]["w"]))
+    # running stats stored -> eval-mode BN
+    assert "mean" in new["stem_bn"] and "var" in new["stem_bn"]
+    # without running stats: batch-stats BN params only
+    plain = enc.load_torch_weights(params, sd, use_running_stats=False)
+    assert "mean" not in plain["stem_bn"]
+    # wrong-shape import is rejected
+    bad = dict(sd)
+    bad["conv1.weight"] = sd["conv1.weight"][:, :2]
+    with pytest.raises(ValueError, match="shape mismatch"):
+        enc.load_torch_weights(params, bad)

@@ -44,6 +44,7 @@ def test_main_writes_checkpoint(pendulum_ckpt):
     assert cfg["model"] == "CDGVAE" and cfg["image_size"] == 16
 
 
+@pytest.mark.slow
 def test_main_vae_and_infomax(workdir):
     from cdgvae_tpu.cli import main
     main.main(SMALL + ["--model", "VAE", "--epochs", "1",
@@ -59,6 +60,7 @@ def test_main_semi(workdir):
                             "--assets_dir", os.path.join(workdir, "semi")])
 
 
+@pytest.mark.slow
 def test_inference_cli(pendulum_ckpt, workdir):
     from cdgvae_tpu.cli import inference
     out = os.path.join(workdir, "inf")
@@ -106,6 +108,7 @@ def test_toy_dr_cli():
     assert set(results) == {"Disentangled", "ERM", "Entangled"}
 
 
+@pytest.mark.slow
 def test_tabular_cli_chain(workdir):
     from cdgvae_tpu.cli import tabular_main, tabular_inference
     out = os.path.join(workdir, "tab")
@@ -120,6 +123,7 @@ def test_tabular_cli_chain(workdir):
     assert "SHD (Sample)" in res
 
 
+@pytest.mark.slow
 def test_tabular_tvae_cli(workdir):
     from cdgvae_tpu.cli import tabular_main_tvae, tabular_inference_tvae
     out = os.path.join(workdir, "tvae")
@@ -143,6 +147,7 @@ def test_dag_discovery_cli(workdir):
     assert G_label.shape == (3, 3)
 
 
+@pytest.mark.slow
 def test_celeba_cli(workdir):
     from cdgvae_tpu.cli import celeba_main
     out = os.path.join(workdir, "celeba")
@@ -320,6 +325,7 @@ def test_dr_semi_dp_mesh_scanned(workdir):
         out, "model_DR_CDGVAEsemi_nonlinear", "state.pkl"))
 
 
+@pytest.mark.slow
 def test_celeba_dp_mesh_scanned(workdir):
     """CelebA under --dp: sharded scanned trainer with the dual-latent L1
     loss (the family where DP genuinely pays)."""
@@ -382,6 +388,7 @@ def test_dp_smoke_batch_clamp(workdir):
                                        "state.pkl"))
 
 
+@pytest.mark.slow
 def test_resume_all_families(workdir):
     """--resume (restores params+opt+epoch) now works on every training
     CLI, not just cli.main."""
@@ -454,6 +461,7 @@ def test_resume_past_epochs_rejected(workdir, pendulum_ckpt):
                            "--assets_dir", os.path.join(workdir, "rpe")])
 
 
+@pytest.mark.slow
 def test_celeba_dp_bf16(workdir):
     """bf16 mixed precision composes with the sharded scanned trainer
     (the celeba loss casts network compute, keeps f32 params/losses)."""
@@ -466,6 +474,7 @@ def test_celeba_dp_bf16(workdir):
                                        "state.pkl"))
 
 
+@pytest.mark.slow
 def test_profile_flag_writes_trace(workdir):
     """--profile DIR writes a jax.profiler trace of the scanned training
     drive (the SURVEY §5 tracing subsystem, reachable from every training

@@ -1,5 +1,6 @@
 """Online (fresh-data-per-step) trainer: DGP parity and training."""
 import numpy as np
+import pytest
 import jax
 import optax
 
@@ -117,6 +118,7 @@ def test_dr_online_scanned_steps_train():
     assert np.all(np.isfinite(losses)) and losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_sharded_online_matches_manual_composition():
     """One multi-chip online call (8-device mesh) equals the hand-built
     composition: per-device DGP draws with the same folded keys, gradient

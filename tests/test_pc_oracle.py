@@ -226,3 +226,53 @@ class TestFiniteSample:
         data = rng.integers(0, 3, size=(n, 3)).astype(float)
         got, _ = pc(data, alpha=0.01, indep_test="chisq")
         assert (got == 0).all()
+
+
+# ------------------------------------------------ count_accuracy metrics
+
+
+class TestCountAccuracy:
+    """Hand-computed cases for the NOTEARS-lineage structure metrics
+    (reference modules/simulation.py:31-76; rewritten on boolean masks)."""
+
+    def test_perfect_recovery(self):
+        from cdgvae_tpu.utils.simulation import count_accuracy
+        truth = dag(3, (0, 1), (1, 2)).astype(int)
+        m = count_accuracy(truth, truth)
+        assert m == {"fdr": 0.0, "tpr": 1.0, "fpr": 0.0, "shd": 0, "nnz": 2}
+
+    def test_reversed_edge(self):
+        from cdgvae_tpu.utils.simulation import count_accuracy
+        truth = dag(3, (0, 1), (1, 2)).astype(int)
+        est = dag(3, (1, 0), (1, 2)).astype(int)  # first edge flipped
+        m = count_accuracy(truth, est)
+        assert m["shd"] == 1          # one reversal
+        assert m["tpr"] == 0.5        # one of two edges oriented right
+        assert m["fdr"] == 0.5        # flipped edge counts against precision
+        assert m["nnz"] == 2
+
+    def test_spurious_and_missing(self):
+        from cdgvae_tpu.utils.simulation import count_accuracy
+        truth = dag(4, (0, 1), (1, 2)).astype(int)
+        est = dag(4, (0, 1), (2, 3)).astype(int)   # missing (1,2), extra (2,3)
+        m = count_accuracy(truth, est)
+        assert m["shd"] == 2
+        assert m["tpr"] == 0.5
+        assert m["fdr"] == 0.5
+        # fpr = wrong / (d(d-1)/2 - |truth|) = 1 / (6 - 2)
+        assert m["fpr"] == pytest.approx(0.25)
+
+    def test_rejects_non_binary_and_cyclic(self):
+        from cdgvae_tpu.utils.simulation import count_accuracy
+        truth = dag(2, (0, 1)).astype(int)
+        with pytest.raises(ValueError):
+            count_accuracy(truth, truth * 2)
+        cyc = np.array([[0, 1], [1, 0]])
+        with pytest.raises(ValueError):
+            count_accuracy(truth, cyc)
+
+    def test_empty_estimate(self):
+        from cdgvae_tpu.utils.simulation import count_accuracy
+        truth = dag(3, (0, 1)).astype(int)
+        m = count_accuracy(truth, np.zeros((3, 3), dtype=int))
+        assert m == {"fdr": 0.0, "tpr": 0.0, "fpr": 0.0, "shd": 1, "nnz": 0}

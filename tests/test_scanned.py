@@ -1,6 +1,7 @@
 """Scan-compiled trainer tests: one-dispatch epochs match the step math and
 reduce loss."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
@@ -174,6 +175,7 @@ def test_scanned_raises_on_zero_steps():
         run(params, opt.init(params), x, y, jax.random.key(1), 0)
 
 
+@pytest.mark.slow
 def test_run_scanned_chunks_clamps_small_dataset_and_exact_boundaries():
     """run_scanned_chunks: (a) clamps batch_size to the dataset size
     (smoke runs), (b) post_epoch fires at pred epochs with the EXACT
@@ -348,3 +350,94 @@ def test_marginal_epsilon_roll_never_identity():
     import pytest
     with pytest.raises(ValueError):
         marginal_epsilon(jnp.ones((1, 2)), jax.random.key(0), "roll")
+
+
+def test_quantize_matches_png_encoder():
+    """quantize_images (device) and png_io._to_uint8 (host) implement the
+    same encode math from two codebases; assert byte equality over a dense
+    sweep incl. overshoot values so they cannot drift (both use
+    round-half-to-even)."""
+    from cdgvae_tpu.data.png_io import _to_uint8
+    from cdgvae_tpu.train.scanned import quantize_images
+
+    rng = np.random.default_rng(0)
+    x = np.concatenate([
+        rng.uniform(-1.1, 1.1, 4096),              # incl. out-of-range
+        (np.arange(256) - 127.5) / 127.5,          # every exact byte
+        (np.arange(255) - 127.0) / 127.5,          # half-way points
+    ]).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(quantize_images(jnp.asarray(x))), _to_uint8(x))
+
+
+def test_scanned_semi_uint8_storage_matches_f32():
+    """Semi-supervised u8 contract (both streams route through
+    _unflatten_item): uint8 storage trains the same trajectory as the
+    dequantized-f32 streams — losses tight, params close (ULP caveat as in
+    the supervised test)."""
+    from cdgvae_tpu.train.steps import make_semi_step
+    from cdgvae_tpu.train.scanned import (make_scanned_epochs_semi,
+                                          quantize_images)
+
+    model, _ = build_pendulum_model(CFG)
+    opt = optax.adam(1e-3)
+    rng = np.random.default_rng(3)
+    x_u = jnp.asarray(np.tanh(rng.normal(size=(64, 16, 16, 3))), jnp.float32)
+    x_l = x_u[:16]
+    y_l = jnp.asarray(rng.uniform(size=(16, 5)), jnp.float32)
+    xu_u8, xl_u8 = quantize_images(x_u), quantize_images(x_l)
+    xu_deq, xl_deq = _jit_decode(xu_u8), _jit_decode(xl_u8)
+
+    raw = make_semi_step(model, opt, beta=0.1, lam=5.0, jit=False)
+    run = make_scanned_epochs_semi(raw, batch_size=16, batch_size_l=8,
+                                   n_epochs_per_call=3)
+    outs = []
+    for xu, xl in ((xu_u8, xl_u8), (xu_deq, xl_deq)):
+        params = model.init(jax.random.key(0))
+        p, _, ms = run(params, opt.init(params), xu, xl, y_l,
+                       jax.random.key(1), 0)
+        outs.append((jax.device_get(p), np.asarray(ms["loss"])))
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][0]),
+                    jax.tree_util.tree_leaves(outs[1][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)
+
+
+def test_sharded_semi_uint8_storage_matches_f32():
+    """Same u8 contract on the sharded semi trainer (both streams sharded
+    over the dp mesh)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from cdgvae_tpu.parallel.mesh import make_mesh
+    from cdgvae_tpu.train.steps import make_semi_loss_fn
+    from cdgvae_tpu.train.scanned import (
+        make_sharded_scanned_epochs_semi_from_loss, quantize_images)
+
+    model, _ = build_pendulum_model(CFG)
+    mesh = make_mesh(8)
+    opt = optax.adam(1e-3)
+    loss_fn = make_semi_loss_fn(model, beta=0.1, lam=5.0)
+    run = make_sharded_scanned_epochs_semi_from_loss(
+        loss_fn, opt, mesh, batch_size=16, batch_size_l=8,
+        n_epochs_per_call=2)
+    rng = np.random.default_rng(4)
+    x_u = jnp.asarray(np.tanh(rng.normal(size=(64, 16, 16, 3))), jnp.float32)
+    x_l = x_u[:16]
+    y_l = jnp.asarray(rng.uniform(size=(16, 5)), jnp.float32)
+    xu_u8, xl_u8 = quantize_images(x_u), quantize_images(x_l)
+    xu_deq, xl_deq = _jit_decode(xu_u8), _jit_decode(xl_u8)
+    yl_s = jax.device_put(y_l, NamedSharding(mesh, P("dp")))
+
+    outs = []
+    for xu, xl in ((xu_u8, xl_u8), (xu_deq, xl_deq)):
+        xus = jax.device_put(xu, NamedSharding(mesh, P("dp")))
+        xls = jax.device_put(xl, NamedSharding(mesh, P("dp")))
+        params = model.init(jax.random.key(0))
+        p, _, ms = run(params, opt.init(params), xus, xls, yl_s,
+                       jax.random.key(1), 0)
+        outs.append((jax.device_get(p), np.asarray(ms["loss"])))
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][0]),
+                    jax.tree_util.tree_leaves(outs[1][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)

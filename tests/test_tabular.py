@@ -73,6 +73,7 @@ def test_data_transformer_roundtrip_and_spans():
 
 
 @pytest.mark.parametrize("dataset", ["loan", "adult", "covtype"])
+@pytest.mark.slow
 def test_load_tabular_synthetic(dataset):
     spec = DATASET_SPECS[dataset]
     n = {"loan": 5000, "adult": 45000, "covtype": 12000}[dataset]
