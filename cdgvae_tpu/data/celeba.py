@@ -109,7 +109,14 @@ def preprocess(base_dir: str, out_dir: str, causal_structure: str = "smile",
 def synthetic_celeba(n: int = 64, img_size: int = 128, seed: int = 0):
     """Synthetic face-like scenes: 6 binary attributes drive simple
     geometry; 5 part masks are the corresponding regions. Returns
-    (x [n, S, S, 8], y [n, 6])."""
+    (x [n, S, S, 8], y [n, 6]).
+
+    Every attribute is VISIBLE in pixels (a linear probe on raw pixels
+    separates each one perfectly; asserted in test_celeba): Smiling lifts
+    the mouth corners ~8 px and widens the mouth, High_Cheekbones paints
+    raised rosy cheek patches, Male sets skin tone, Mouth_Slightly_Open
+    sets mouth thickness, Chubby widens the face, Narrow_Eyes shrinks eye
+    height."""
     rng = np.random.default_rng(seed)
     S = img_size
     yy, xx = np.mgrid[0:S, 0:S].astype(np.float64) / S
@@ -124,14 +131,26 @@ def synthetic_celeba(n: int = 64, img_size: int = 128, seed: int = 0):
         skin_tone = np.array([0.9, 0.7, 0.6]) if male < 0.5 else \
             np.array([0.75, 0.55, 0.45])
         img[face] = skin_tone
+        # cheek patches: raised + rosy with high cheekbones, else a faint
+        # skin-tone shading at the lower position
+        cy = 0.52 - 0.04 * cheek
+        cr = 0.035 + 0.025 * cheek
+        cheeks = ((((xx - 0.36) ** 2 + (yy - cy) ** 2) < cr ** 2)
+                  | (((xx - 0.64) ** 2 + (yy - cy) ** 2) < cr ** 2)) & face
+        img[cheeks] = (np.array([0.95, 0.45, 0.45]) if cheek > 0.5
+                       else skin_tone * 0.94)
         eye_h = 0.012 + 0.02 * (1 - eyes)
         eye = (((np.abs(xx - 0.38) < 0.05) | (np.abs(xx - 0.62) < 0.05))
                & (np.abs(yy - 0.42) < eye_h))
         img[eye] = [0.1, 0.1, 0.15]
+        # mouth: open-ness sets thickness; smiling lifts the corners with
+        # a strong upward curve and widens the mouth
         mouth_h = 0.015 + 0.025 * mouth
-        curve = 0.03 * smile * np.sin((xx - 0.38) / 0.24 * np.pi)
-        mouth_m = (np.abs(xx - 0.5) < 0.12) & \
-            (np.abs(yy - (0.68 - curve)) < mouth_h)
+        mw = 0.10 + 0.05 * smile
+        curve = 0.06 * smile * (np.clip(
+            np.cos((xx - 0.5) / mw * (np.pi / 2)), 0, None) - 0.5)
+        mouth_m = (np.abs(xx - 0.5) < mw) & \
+            (np.abs(yy - (0.70 + curve)) < mouth_h)
         img[mouth_m] = [0.7, 0.2, 0.2]
         hair = ((xx - 0.5) ** 2 / (w + 0.05) ** 2
                 + (yy - 0.42) ** 2 / 0.2) < 1

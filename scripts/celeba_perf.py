@@ -1,0 +1,140 @@
+"""CelebA family performance pass: imgs/s/chip, conv MFU, xplane op ranking.
+
+The CelebA CDG-VAE (50M params, SAGAN conv decoders + ResNet encoder) is
+the one model in this framework where MXU utilization is the story — the
+pendulum/tabular MLPs are latency-bound. This script measures, on the real
+chip, at the reference protocol (batch 16, 128px, frozen trunk,
+celeba/main.py defaults):
+
+1. train-step throughput (imgs/s/chip) for f32 vs bf16 compute;
+2. analytic FLOPs of one train step (XLA ``cost_analysis``) -> MFU
+   against the chip's bf16 peak (v5e: 197 TFLOP/s);
+3. an xplane device-op ranking of a profiled run (what the chip actually
+   spends time on), via cdgvae_tpu.utils.xplane.
+
+Writes docs/results/celeba_perf.json and prints the ranking.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from cdgvae_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# bf16 matmul peak per chip. device_kind -> TFLOP/s
+PEAK_BF16_TFLOPS = {"TPU v5 lite": 197.0, "TPU v5e": 197.0,
+                    "TPU v4": 275.0, "TPU v5p": 459.0, "TPU v6e": 918.0}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--img_size", type=int, default=128)
+    ap.add_argument("--n_data", type=int, default=512)
+    ap.add_argument("--epochs_per_call", type=int, default=10)
+    ap.add_argument("--profile_dir", default="/tmp/celeba_perf_trace")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from cdgvae_tpu.data.celeba import synthetic_celeba
+    from cdgvae_tpu.models.celeba import (CelebACDGVAE, celeba_B,
+                                          SMILE_NODES)
+    from cdgvae_tpu.ops.causal import CausalGraph
+    from cdgvae_tpu.train.celeba_steps import celeba_unjitted_step
+    from cdgvae_tpu.train.scanned import make_scanned_epochs
+
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_BF16_TFLOPS.get(kind)
+    print(f"device: {kind} (bf16 peak {peak} TFLOP/s)")
+
+    graph = CausalGraph(celeba_B(SMILE_NODES, 0), scm="linear")
+    model = CelebACDGVAE(graph, latent_dim=6, image_size=args.img_size,
+                         freeze_trunk=True)
+    params = model.init(jax.random.key(0))
+    opt = optax.adam(1e-3)
+
+    x_np, y_np = synthetic_celeba(args.n_data, args.img_size, seed=1)
+    x, y = jnp.asarray(x_np), jnp.asarray(y_np)
+    steps_per_call = (args.n_data // args.batch) * args.epochs_per_call
+
+    results = {"device": kind, "batch": args.batch,
+               "img_size": args.img_size, "peak_bf16_tflops": peak}
+
+    for name, dtype in (("f32", None), ("bf16", jnp.bfloat16)):
+        step = celeba_unjitted_step(model, opt, beta=0.1, lam=5.0,
+                                    compute_dtype=dtype)
+        run = make_scanned_epochs(step, batch_size=args.batch,
+                                  n_epochs_per_call=args.epochs_per_call)
+        p, s, m = run(params, opt.init(params), x, y, jax.random.key(1), 0)
+        jax.block_until_ready(m["loss"])  # compile + warm
+        times = []
+        for rep in range(3):
+            t0 = time.perf_counter()
+            p, s, m = run(p, s, x, y, jax.random.key(1),
+                          (rep + 1) * args.epochs_per_call)
+            jax.block_until_ready(m["loss"])
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        imgs = steps_per_call * args.batch / dt
+        ms_per_step = dt / steps_per_call * 1e3
+
+        # analytic FLOPs of ONE step: cost_analysis on the jitted raw step
+        # (the scanned runner amortizes dispatch but has the same per-step
+        # math). XLA counts each MAC as 2 flops, both fwd and bwd.
+        jstep = jax.jit(step)
+        lowered = jstep.lower(params, opt.init(params), x[:args.batch],
+                              y[:args.batch], jax.random.key(1))
+        cost = lowered.compile().cost_analysis()
+        flops = float(cost.get("flops", 0.0))
+        tflops_per_s = flops / (dt / steps_per_call) / 1e12
+        mfu = tflops_per_s / peak if peak else None
+        results[name] = {
+            "imgs_per_sec": round(imgs, 1),
+            "ms_per_step": round(ms_per_step, 3),
+            "step_tflops": round(flops / 1e12, 4),
+            "achieved_tflops_per_s": round(tflops_per_s, 2),
+            "mfu_vs_bf16_peak": None if mfu is None else round(mfu, 4),
+        }
+        print(f"{name}: {imgs:,.0f} imgs/s  {ms_per_step:.2f} ms/step  "
+              f"{tflops_per_s:.1f} TFLOP/s  "
+              f"MFU {mfu:.1%}" if mfu is not None else f"{name}: {imgs}")
+        del run, p, s
+
+    # xplane profile of the bf16 scanned run (one call)
+    step = celeba_unjitted_step(model, opt, beta=0.1, lam=5.0,
+                                compute_dtype=jnp.bfloat16)
+    run = make_scanned_epochs(step, batch_size=args.batch,
+                              n_epochs_per_call=args.epochs_per_call)
+    p, s, m = run(params, opt.init(params), x, y, jax.random.key(1), 0)
+    jax.block_until_ready(m["loss"])
+    with jax.profiler.trace(args.profile_dir):
+        p, s, m = run(p, s, x, y, jax.random.key(1), args.epochs_per_call)
+        jax.block_until_ready(m["loss"])
+
+    from cdgvae_tpu.utils.xplane import rank_ops
+    ranking = rank_ops(args.profile_dir, top=15)
+    results["top_device_ops_bf16"] = [
+        {"op": r[0], "total_ms": round(r[1], 3)} for r in ranking]
+    print("\ntop device ops (bf16 scanned run):")
+    for r in ranking:
+        print(f"  {r[1]:9.3f} ms  {r[0]}")
+
+    out = os.path.join(REPO, "docs", "results", "celeba_perf.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"\n-> {out}")
+
+
+if __name__ == "__main__":
+    main()

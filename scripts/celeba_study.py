@@ -26,7 +26,9 @@ masked-GAM architecture trains and disentangles end-to-end:
    exactly zero by construction; measured here as max |pixel delta|
    outside the allowed region over a 7-value sweep.
 
-Writes docs/results/celeba_study.json.
+Multi-seed: ``--seed 1 2 3`` trains one model per seed on a shared corpus
+(keyed on ``--data_seed``) and reports per-seed metrics plus mean/std
+attribute-correlation diagonals. Writes docs/results/celeba_study.json.
 """
 import argparse
 import json
@@ -61,13 +63,38 @@ def write_corpus(base: str, n_train: int, n_test: int, img_size: int,
             np.save(os.path.join(lab_dir, f"{i}.npy"), y[i])
 
 
+def run_seed(args, corpus: str, seed: int):
+    """Train (or reuse) one seed's model and return its metrics dict."""
+    assets = os.path.join(args.workdir, f"assets_s{seed}")
+    ckpt_dir = os.path.join(assets, "celeba_CDGVAE_linear")
+    if args.eval_only and os.path.isdir(ckpt_dir):
+        train_s = None
+    else:
+        from cdgvae_tpu.cli import celeba_main
+        argv = ["--data_dir", corpus, "--assets_dir", assets,
+                "--epochs", str(args.epochs),
+                "--img_size", str(args.img_size),
+                "--seed", str(seed), "--lambda", str(args.lam)]
+        if args.bf16:
+            argv.append("--bf16")
+        if args.train_trunk:
+            argv.append("--train_trunk")
+        t0 = time.time()
+        celeba_main.main(argv)
+        train_s = time.time() - t0
+    return ckpt_dir, train_s
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n_train", type=int, default=256)
     ap.add_argument("--n_test", type=int, default=64)
     ap.add_argument("--img_size", type=int, default=128)
     ap.add_argument("--epochs", type=int, default=100)
-    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--seed", type=int, dest="seeds", nargs="+",
+                    default=[1], help="training seeds; the corpus is "
+                    "shared across seeds (keyed on --data_seed)")
+    ap.add_argument("--data_seed", type=int, default=1)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--train_trunk", action="store_true",
                     help="train the ResNet trunk end-to-end (without "
@@ -77,18 +104,17 @@ def main():
     ap.add_argument("--tag", default="",
                     help="suffix for the output json/png filenames")
     ap.add_argument("--eval_only", action="store_true",
-                    help="reuse the workdir checkpoint, skip training")
+                    help="reuse the workdir checkpoints, skip training")
     ap.add_argument("--workdir", default="/tmp/celeba_study")
     args = ap.parse_args()
 
     corpus = os.path.join(args.workdir, "corpus")
-    assets = os.path.join(args.workdir, "assets")
     # corpus reuse is keyed on the generation settings, not bare existence
     # (a stale corpus at a different img_size would otherwise be silently
     # fed to a model built for the new size)
     meta_path = os.path.join(corpus, "meta.json")
     meta = {"n_train": args.n_train, "n_test": args.n_test,
-            "img_size": args.img_size, "seed": args.seed}
+            "img_size": args.img_size, "seed": args.data_seed}
     existing = None
     if os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -98,26 +124,20 @@ def main():
             import shutil
             shutil.rmtree(corpus)
         write_corpus(corpus, args.n_train, args.n_test, args.img_size,
-                     args.seed)
+                     args.data_seed)
         with open(meta_path, "w") as f:
             json.dump(meta, f)
 
-    ckpt_dir = os.path.join(assets, "celeba_CDGVAE_linear")
-    if args.eval_only and os.path.isdir(ckpt_dir):
-        train_s = None
-    else:
-        from cdgvae_tpu.cli import celeba_main
-        argv = ["--data_dir", corpus, "--assets_dir", assets,
-                "--epochs", str(args.epochs),
-                "--img_size", str(args.img_size),
-                "--seed", str(args.seed), "--lambda", str(args.lam)]
-        if args.bf16:
-            argv.append("--bf16")
-        if args.train_trunk:
-            argv.append("--train_trunk")
-        t0 = time.time()
-        celeba_main.main(argv)
-        train_s = time.time() - t0
+    per_seed = []
+    for seed in args.seeds:
+        ckpt_dir, train_s = run_seed(args, corpus, seed)
+        per_seed.append(evaluate(args, corpus, ckpt_dir, train_s,
+                                 seed == args.seeds[0]))
+
+    report(args, per_seed)
+
+
+def evaluate(args, corpus, ckpt_dir, train_s, render_grid):
 
     from cdgvae_tpu.api import LoadedModel
     from cdgvae_tpu.data.celeba import CelebADataset
@@ -176,22 +196,22 @@ def main():
         spread = grid[j].max(axis=0) - grid[j].min(axis=0)  # [H, W, 3]
         leakage.append(float(spread.max(axis=-1)[~allowed].max()))
 
-    from cdgvae_tpu.utils.viz import viz_do_grid
-    out_png = os.path.join(REPO, "docs", "results",
-                           f"celeba_do{args.tag}.png")
-    viz_do_grid(grid, out_png, row_names=test.nodes)
+    if render_grid:
+        from cdgvae_tpu.utils.viz import viz_do_grid
+        out_png = os.path.join(REPO, "docs", "results",
+                               f"celeba_do{args.tag}.png")
+        viz_do_grid(grid, out_png, row_names=test.nodes)
+        print(f"do-grid -> {out_png}")
 
     # report the checkpoint's own embedded config for the training
     # hyperparameters — under --eval_only the CLI args may not match the
     # run that produced the checkpoint
     ck_cfg = m.config
-    out = {
-        "protocol": {"n_train": args.n_train, "n_test": args.n_test,
-                     "img_size": ck_cfg["img_size"],
-                     "epochs": ck_cfg["epochs"],
-                     "seed": ck_cfg["seed"], "bf16": ck_cfg.get("bf16"),
-                     "train_trunk": bool(ck_cfg.get("train_trunk")),
-                     "lambda": ck_cfg["lambda"]},
+    return {
+        "seed": ck_cfg["seed"],
+        "epochs": ck_cfg["epochs"], "bf16": ck_cfg.get("bf16"),
+        "train_trunk": bool(ck_cfg.get("train_trunk")),
+        "lambda": ck_cfg["lambda"],
         "train_wall_s": None if train_s is None else round(train_s, 1),
         "test_recon_l1": round(recon_l1, 4),
         "latent_attr_corr_diag": [round(float(v), 3) for v in diag],
@@ -200,12 +220,31 @@ def main():
         "do_leakage_outside_masks": leakage,
         "nodes": test.nodes,
     }
+
+
+def report(args, per_seed):
+    diags = np.array([s["latent_attr_corr_diag"] for s in per_seed])
+    offd = np.array([s["latent_attr_corr_max_offdiag"] for s in per_seed])
+    out = {
+        "protocol": {"n_train": args.n_train, "n_test": args.n_test,
+                     "img_size": args.img_size, "epochs": args.epochs,
+                     "seeds": args.seeds, "data_seed": args.data_seed,
+                     "bf16": args.bf16, "train_trunk": args.train_trunk,
+                     "lambda": args.lam},
+        "nodes": per_seed[0]["nodes"],
+        "diag_mean": [round(float(v), 3) for v in diags.mean(0)],
+        "diag_std": [round(float(v), 3) for v in diags.std(0)],
+        "max_offdiag_mean": [round(float(v), 3) for v in offd.mean(0)],
+        "do_leakage_max": max(max(s["do_leakage_outside_masks"])
+                              for s in per_seed),
+        "per_seed": per_seed,
+    }
     path = os.path.join(REPO, "docs", "results",
                         f"celeba_study{args.tag}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1, allow_nan=False)
-    print(json.dumps(out, indent=1))
-    print(f"do-grid -> {out_png}")
+    print(json.dumps({k: v for k, v in out.items() if k != "per_seed"},
+                     indent=1))
 
 
 if __name__ == "__main__":

@@ -138,6 +138,22 @@ def test_celeba_dataset_synthetic_fallback():
     assert set(np.unique(ds.x_data[..., 3:])) <= {0.0, 1.0}
 
 
+def test_synthetic_attributes_all_visible():
+    """Every one of the 6 attributes must be recoverable from pixels alone
+    (round-1 finding: Smiling/High_Cheekbones were invisible in the
+    fallback renderer, making 2 of 6 attribute validations vacuous). A
+    least-squares pixel probe must separate each attribute near-perfectly
+    on held-out renders."""
+    x, y = synthetic_celeba(n=192, img_size=64, seed=3)
+    px = x[:, ::2, ::2, :3].reshape(192, -1)
+    px = np.concatenate([px, np.ones((192, 1))], 1)
+    tr, te = slice(0, 144), slice(144, 192)
+    for j, name in enumerate(SMILE_NODES):
+        w = np.linalg.lstsq(px[tr], y[tr, j] * 2 - 1, rcond=1e-3)[0]
+        acc = ((px[te] @ w > 0) == (y[te, j] > 0.5)).mean()
+        assert acc >= 0.95, f"{name} not visible in renderer: probe {acc}"
+
+
 def test_block_groups_wiring():
     # smile structure: [smile,cheek],[smile,mouth],[smile,chubby],
     # [smile,male,eyes] (celeba/module/model.py:189-195)
