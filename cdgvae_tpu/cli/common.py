@@ -363,3 +363,19 @@ def sharded_scan_setup_semi(mesh, x_u, x_l, y_l, loss_fn, optimizer,
             n_epochs_per_call=n_epochs)
 
     return xu, xl, yl, make_runner
+
+
+def publish_model_artifact(logger, ckpt: str, config: dict, model=None,
+                           entry_file: str | None = None):
+    """Publish the saved checkpoint as a wandb Artifact (reference
+    main.py:233-240 uploads the state dict + main.py + modules/model.py;
+    here: the checkpoint directory + the entry-point source + the model
+    class's source module). No-op when wandb is off/absent."""
+    import os
+    import sys
+    sources = [entry_file]
+    if model is not None:
+        mod = sys.modules.get(type(model).__module__)
+        sources.append(getattr(mod, "__file__", None))
+    logger.log_artifact(os.path.basename(ckpt), ckpt, metadata=config,
+                        sources=[s for s in sources if s])

@@ -230,6 +230,9 @@ def main(argv=None):
                             "opt_state_d": state[3]}
                     if config["model"] == "InfoMax" else None)
     print(f"checkpoint saved to {ckpt}")
+    from .common import publish_model_artifact
+    publish_model_artifact(logger, ckpt, config, model,
+                           entry_file=__file__)
     logger.finish()
     return state
 

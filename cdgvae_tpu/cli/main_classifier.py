@@ -92,6 +92,9 @@ def main(argv=None):
     save_checkpoint(ckpt, params, opt_state=opt_state,
                     step=config["epochs"], config=config)
     print(f"checkpoint saved to {ckpt}")
+    from .common import publish_model_artifact
+    publish_model_artifact(logger, ckpt, config, None,
+                           entry_file=__file__)
     logger.finish()
     return params
 

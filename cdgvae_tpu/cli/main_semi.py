@@ -162,6 +162,9 @@ def main(argv=None):
     save_checkpoint(ckpt, state[0], opt_state=state[1],
                     step=config["epochs"], config=config)
     print(f"checkpoint saved to {ckpt}")
+    from .common import publish_model_artifact
+    publish_model_artifact(logger, ckpt, config, model,
+                           entry_file=__file__)
     logger.finish()
     return state
 

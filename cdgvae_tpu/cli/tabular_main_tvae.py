@@ -138,6 +138,9 @@ def main(argv=None):
     atomic_write(os.path.join(ckpt, "transformer.pkl"), "wb",
                   lambda f: pickle.dump(data.transformer, f))
     print(f"checkpoint saved to {ckpt}")
+    from .common import publish_model_artifact
+    publish_model_artifact(logger, ckpt, config, model,
+                           entry_file=__file__)
     logger.finish()
     return state
 

@@ -51,6 +51,23 @@ class MetricLogger:
             import wandb
             self._wandb.log({key: wandb.Image(path)})
 
+    def log_artifact(self, name: str, ckpt_dir: str,
+                     metadata: dict | None = None, sources=()):
+        """Publish a trained model as a wandb Artifact (reference
+        main.py:233-240: the saved state dict plus the entry-point and
+        model source files, config as metadata). No-op without wandb —
+        the checkpoint directory itself already embeds the config
+        (utils/checkpoint.py), which is the part eval depends on."""
+        if self._wandb is None:
+            return
+        import wandb
+        art = wandb.Artifact(name, type="model", metadata=metadata)
+        art.add_dir(ckpt_dir)
+        for src in sources:
+            if src and os.path.exists(src):
+                art.add_file(src)
+        self._wandb.log_artifact(art)
+
     def finish(self):
         if self._file:
             self._file.close()

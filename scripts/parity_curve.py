@@ -85,8 +85,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--n", type=int, default=7500)
+    ap.add_argument("--cpu", action="store_true",
+                    help="run the JAX side on the CPU backend (identical "
+                         "math; use while the chip is busy)")
     ap.add_argument("--out", default="docs/results/parity_curve.json")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    if not os.path.isabs(args.out):
+        # anchor on the repo root regardless of cwd (a round-1 run from
+        # scripts/ landed the artifact in scripts/docs/)
+        args.out = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), args.out)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from cdgvae_tpu.data.pendulum import PendulumDataset

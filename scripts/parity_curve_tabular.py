@@ -137,6 +137,9 @@ def main():
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    if not os.path.isabs(args.out):
+        args.out = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), args.out)
 
     from cdgvae_tpu.data.tabular.datasets import load_tabular
     data = load_tabular("loan", train=True)

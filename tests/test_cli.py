@@ -488,3 +488,61 @@ def test_profile_flag_writes_trace(workdir):
     for root, _, files in os.walk(trace_dir):
         profiles.extend(f for f in files if f.endswith(".xplane.pb"))
     assert profiles, f"no .xplane.pb written under {trace_dir}"
+
+
+def test_log_artifact_publishes_checkpoint(workdir, monkeypatch):
+    """MetricLogger.log_artifact mirrors reference main.py:233-240: the
+    checkpoint directory plus source files land in a wandb Artifact with
+    the config as metadata. Exercised against a stub wandb module (the
+    real one is optional); without wandb the call is a silent no-op."""
+    import sys
+    import types
+    from cdgvae_tpu.utils.logging import MetricLogger
+
+    ckpt = os.path.join(workdir, "model_X")
+    os.makedirs(ckpt)
+    with open(os.path.join(ckpt, "state.pkl"), "wb") as f:
+        f.write(b"x")
+
+    published = []
+
+    class FakeArtifact:
+        def __init__(self, name, type=None, metadata=None):
+            self.name, self.type, self.metadata = name, type, metadata
+            self.dirs, self.files = [], []
+
+        def add_dir(self, d):
+            self.dirs.append(d)
+
+        def add_file(self, p):
+            self.files.append(p)
+
+    class FakeRun:
+        def log(self, *a, **k):
+            pass
+
+        def log_artifact(self, art):
+            published.append(art)
+
+        def finish(self):
+            pass
+
+    fake = types.ModuleType("wandb")
+    fake.Artifact = FakeArtifact
+    fake.init = lambda **k: FakeRun()
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    logger = MetricLogger(use_wandb=True, config={"model": "X"})
+    logger.log_artifact("model_X", ckpt, metadata={"model": "X"},
+                        sources=[__file__, "/nonexistent.py"])
+    logger.finish()
+
+    assert len(published) == 1
+    art = published[0]
+    assert art.name == "model_X" and art.type == "model"
+    assert art.metadata == {"model": "X"}
+    assert art.dirs == [ckpt]
+    assert art.files == [__file__]  # missing sources are skipped
+
+    # no wandb requested -> no-op, no error
+    MetricLogger().log_artifact("m", ckpt)
