@@ -441,3 +441,41 @@ def test_sharded_semi_uint8_storage_matches_f32():
                     jax.tree_util.tree_leaves(outs[1][0])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=1e-4)
+
+
+def test_scanned_semi_uint8_storage_matches_f32():
+    """The SAME u8 contract on the semi-supervised trainer: BOTH streams
+    (unlabeled + labeled) pass through the in-step decode, so quantized
+    storage must train the dequantized-f32 trajectory (losses tight,
+    params close — ULP caveat as in the supervised test). Closes the
+    round-1 advisor gap: the single-device semi builder was the last
+    scanned trainer whose uint8 path was documented but untested."""
+    import optax
+    from cdgvae_tpu.factory import build_pendulum_model
+    from cdgvae_tpu.train.steps import make_semi_step
+    from cdgvae_tpu.train.scanned import (make_scanned_epochs_semi,
+                                          quantize_images)
+
+    model, _ = build_pendulum_model(CFG)
+    opt = optax.adam(1e-3)
+    kx, ky = jax.random.split(jax.random.key(3))
+    x_u = jnp.tanh(jax.random.normal(kx, (64, 16, 16, 3)))
+    x_l = x_u[:10]
+    y_l = jax.random.uniform(ky, (10, 5))
+    u8_u, u8_l = quantize_images(x_u), quantize_images(x_l)
+    deq_u, deq_l = _jit_decode(u8_u), _jit_decode(u8_l)
+
+    raw = make_semi_step(model, opt, beta=0.1, lam=5.0, jit=False)
+    run = make_scanned_epochs_semi(raw, batch_size=16, batch_size_l=8,
+                                   n_epochs_per_call=3)
+    outs = []
+    for xu, xl in ((u8_u, u8_l), (deq_u, deq_l)):
+        params = model.init(jax.random.key(0))
+        p, _, m = run(params, opt.init(params), xu, xl, y_l,
+                      jax.random.key(2), 0)
+        outs.append((jax.device_get(p), np.asarray(m["loss"])))
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][0]),
+                    jax.tree_util.tree_leaves(outs[1][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)
