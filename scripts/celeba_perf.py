@@ -61,8 +61,12 @@ def main():
     graph = CausalGraph(celeba_B(SMILE_NODES, 0), scm="linear")
     model = CelebACDGVAE(graph, latent_dim=6, image_size=args.img_size,
                          freeze_trunk=True)
-    params = model.init(jax.random.key(0))
     opt = optax.adam(1e-3)
+
+    # the scanned runner donates (params, opt_state) — every pass needs a
+    # fresh init (same key -> identical values)
+    def fresh_params():
+        return model.init(jax.random.key(0))
 
     x_np, y_np = synthetic_celeba(args.n_data, args.img_size, seed=1)
     x, y = jnp.asarray(x_np), jnp.asarray(y_np)
@@ -76,7 +80,9 @@ def main():
                                     compute_dtype=dtype)
         run = make_scanned_epochs(step, batch_size=args.batch,
                                   n_epochs_per_call=args.epochs_per_call)
-        p, s, m = run(params, opt.init(params), x, y, jax.random.key(1), 0)
+        params = fresh_params()
+        p, s, m = run(params, opt.init(fresh_params()), x, y,
+                      jax.random.key(1), 0)
         jax.block_until_ready(m["loss"])  # compile + warm
         times = []
         for rep in range(3):
@@ -92,8 +98,9 @@ def main():
         # analytic FLOPs of ONE step: cost_analysis on the jitted raw step
         # (the scanned runner amortizes dispatch but has the same per-step
         # math). XLA counts each MAC as 2 flops, both fwd and bwd.
+        pa = fresh_params()
         jstep = jax.jit(step)
-        lowered = jstep.lower(params, opt.init(params), x[:args.batch],
+        lowered = jstep.lower(pa, opt.init(pa), x[:args.batch],
                               y[:args.batch], jax.random.key(1))
         cost = lowered.compile().cost_analysis()
         flops = float(cost.get("flops", 0.0))
@@ -116,7 +123,8 @@ def main():
                                 compute_dtype=jnp.bfloat16)
     run = make_scanned_epochs(step, batch_size=args.batch,
                               n_epochs_per_call=args.epochs_per_call)
-    p, s, m = run(params, opt.init(params), x, y, jax.random.key(1), 0)
+    pp = fresh_params()
+    p, s, m = run(pp, opt.init(fresh_params()), x, y, jax.random.key(1), 0)
     jax.block_until_ready(m["loss"])
     with jax.profiler.trace(args.profile_dir):
         p, s, m = run(p, s, x, y, jax.random.key(1), args.epochs_per_call)
