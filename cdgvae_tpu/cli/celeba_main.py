@@ -58,6 +58,13 @@ def get_args(debug: bool = False, argv=None):
                         help="run the network in bfloat16 (params/losses "
                              "stay f32) — pays on this conv/MXU-bound "
                              "family, unlike the pendulum MLPs")
+    parser.add_argument("--chunk", default=10, type=int,
+                        help="epochs per scanned device dispatch. Lower it "
+                             "for large corpora: a single dispatch that "
+                             "runs for minutes can exceed the TPU "
+                             "transport's tolerance (observed: a ~250 s "
+                             "dispatch at 5k imgs killed the worker; 1-2 "
+                             "epoch chunks of ~25-50 s are safe)")
     add_resume_arg(parser)
     add_infra_args(parser)
     if debug:
@@ -108,12 +115,19 @@ def main(argv=None):
         print(format_epoch(epoch, metrics))
         logger.log(metrics, step=epoch)
 
+    ckpt = os.path.join(config["assets_dir"],
+                        f"celeba_{config['model']}_{config['scm']}")
+
     def post_epoch(state, epoch):
         xhat = viz_fwd(state[0], x_viz,
                        jax.random.fold_in(k_train, 2**31))
         viz_recon_grid(np.asarray(xhat),
                        f"{config['assets_dir']}/tmp_image_{epoch}.png",
                        n=n_viz)
+        # mid-run checkpoint: long 128px runs are crash-resumable via
+        # --resume (the reference never saves the celeba model at all)
+        save_checkpoint(ckpt, state[0], opt_state=state[1],
+                        step=epoch + 1, config=config)
 
     if not config["eager"]:
         # dataset is device-resident -> scan-compile whole epoch chunks
@@ -138,8 +152,12 @@ def main(argv=None):
             make_loss=lambda: make_celeba_loss_fn(
                 model, config["beta"], config["lambda"],
                 compute_dtype=compute_dtype),
-            optimizer=optimizer, chunk=10, start_epoch=start_epoch,
-            on_epoch=on_epoch, post_epoch=post_epoch)
+            optimizer=optimizer, chunk=config["chunk"],
+            start_epoch=start_epoch,
+            on_epoch=on_epoch, post_epoch=post_epoch,
+            # keep the reference's every-10-epoch viz/checkpoint cadence
+            # regardless of the dispatch chunking
+            post_epoch_pred=lambda e: (e + 1) % 10 == 0)
     else:
         step = make_celeba_step(model, optimizer, config["beta"],
                                 config["lambda"], mesh=mesh,
@@ -153,8 +171,6 @@ def main(argv=None):
             if epoch % 10 == 0:
                 post_epoch(state, epoch)
 
-    ckpt = os.path.join(config["assets_dir"],
-                        f"celeba_{config['model']}_{config['scm']}")
     save_checkpoint(ckpt, state[0], opt_state=state[1],
                     step=config["epochs"], config=config)
     print(f"checkpoint saved to {ckpt}")

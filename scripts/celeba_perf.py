@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--n_data", type=int, default=512)
     ap.add_argument("--epochs_per_call", type=int, default=10)
     ap.add_argument("--profile_dir", default="/tmp/celeba_perf_trace")
+    ap.add_argument("--out", default="docs/results/celeba_perf.json",
+                    help="output json, repo-relative")
     args = ap.parse_args()
 
     import jax
@@ -132,13 +134,17 @@ def main():
 
     from cdgvae_tpu.utils.xplane import rank_ops
     ranking = rank_ops(args.profile_dir, top=15)
+    # op names carry the full HLO tuple signature (the scan while-loop's is
+    # ~90KB) — keep only the op id, which is what a human ranks by
     results["top_device_ops_bf16"] = [
-        {"op": r[0], "total_ms": round(r[1], 3)} for r in ranking]
+        {"op": r[0].split(" = ")[0], "total_ms": round(r[1], 3)}
+        for r in ranking]
     print("\ntop device ops (bf16 scanned run):")
     for r in ranking:
         print(f"  {r[1]:9.3f} ms  {r[0]}")
 
-    out = os.path.join(REPO, "docs", "results", "celeba_perf.json")
+    out = args.out if os.path.isabs(args.out) else os.path.join(
+        REPO, args.out)
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"\n-> {out}")

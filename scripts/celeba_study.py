@@ -64,25 +64,45 @@ def write_corpus(base: str, n_train: int, n_test: int, img_size: int,
 
 
 def run_seed(args, corpus: str, seed: int):
-    """Train (or reuse) one seed's model and return its metrics dict."""
+    """Train (or reuse) one seed's model and return its metrics dict.
+
+    Training runs as a SUBPROCESS with crash-retry: the axon TPU worker can
+    die mid-run (observed on ~250 s dispatches), and a crashed worker
+    poisons the in-process jax client — only a fresh process can reattach.
+    celeba_main checkpoints every 10 epochs, so each retry resumes from the
+    last boundary (--resume) instead of restarting the seed."""
+    import subprocess
+
     assets = os.path.join(args.workdir, f"assets_s{seed}")
     ckpt_dir = os.path.join(assets, "celeba_CDGVAE_linear")
     if args.eval_only and os.path.isdir(ckpt_dir):
-        train_s = None
-    else:
-        from cdgvae_tpu.cli import celeba_main
-        argv = ["--data_dir", corpus, "--assets_dir", assets,
-                "--epochs", str(args.epochs),
-                "--img_size", str(args.img_size),
-                "--seed", str(seed), "--lambda", str(args.lam)]
-        if args.bf16:
-            argv.append("--bf16")
-        if args.train_trunk:
-            argv.append("--train_trunk")
-        t0 = time.time()
-        celeba_main.main(argv)
-        train_s = time.time() - t0
-    return ckpt_dir, train_s
+        return ckpt_dir, None
+
+    argv = [sys.executable, "-m", "cdgvae_tpu.cli.celeba_main",
+            "--data_dir", corpus, "--assets_dir", assets,
+            "--epochs", str(args.epochs),
+            "--img_size", str(args.img_size),
+            "--seed", str(seed), "--lambda", str(args.lam),
+            "--chunk", str(args.chunk)]
+    if args.bf16:
+        argv.append("--bf16")
+    if args.train_trunk:
+        argv.append("--train_trunk")
+    t0 = time.time()
+    for attempt in range(args.max_retries + 1):
+        cmd = list(argv)
+        resumable = os.path.isdir(ckpt_dir)
+        if attempt and resumable:
+            cmd += ["--resume", ckpt_dir]
+        r = subprocess.run(cmd, cwd=REPO)
+        if r.returncode == 0:
+            return ckpt_dir, time.time() - t0
+        print(f"seed {seed}: training attempt {attempt} exited "
+              f"{r.returncode}; retrying"
+              f"{' with --resume' if resumable else ''}", flush=True)
+        time.sleep(args.retry_wait)
+    raise RuntimeError(f"seed {seed}: training failed after "
+                       f"{args.max_retries + 1} attempts")
 
 
 def main():
@@ -105,6 +125,15 @@ def main():
                     help="suffix for the output json/png filenames")
     ap.add_argument("--eval_only", action="store_true",
                     help="reuse the workdir checkpoints, skip training")
+    ap.add_argument("--chunk", type=int, default=2,
+                    help="epochs per device dispatch (keep dispatches "
+                         "under ~1 min; see celeba_main --chunk)")
+    ap.add_argument("--max_retries", type=int, default=8,
+                    help="per-seed crash retries (each resumes from the "
+                         "last 10-epoch checkpoint)")
+    ap.add_argument("--retry_wait", type=float, default=180.0,
+                    help="seconds to wait before a retry (a crashed TPU "
+                         "worker takes minutes to come back)")
     ap.add_argument("--workdir", default="/tmp/celeba_study")
     args = ap.parse_args()
 

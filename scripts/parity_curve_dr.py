@@ -109,10 +109,11 @@ def torch_curve(x_np, y_np, epochs, seed=0):
     y_all = torch.from_numpy(y_np[:, :NODE].astype(np.float32))
     n = len(x_all)
     rng = np.random.default_rng(seed)
-    curve = []
+    curve, comps = [], {"recon": [], "KL": [], "alignment": []}
     for ep in range(epochs):
         perm = rng.permutation(n)
         losses = []
+        ep_comps = {k: [] for k in comps}
         for i in range(0, n - BATCH + 1, BATCH):
             idx = perm[i: i + BATCH]
             x, y = x_all[idx], y_all[idx]
@@ -127,7 +128,12 @@ def torch_curve(x_np, y_np, epochs, seed=0):
             loss.backward()
             opt.step()
             losses.append(float(loss.detach()))
+            ep_comps["recon"].append(float(recon.detach()))
+            ep_comps["KL"].append(float(KL.detach()))
+            ep_comps["alignment"].append(float(alignL.detach()))
         curve.append(float(np.mean(losses)))
+        for k in comps:
+            comps[k].append(float(np.mean(ep_comps[k])))
         if (ep + 1) % 10 == 0:
             print(f"  torch epoch {ep + 1}: {curve[-1]:.2f}", flush=True)
 
@@ -136,7 +142,7 @@ def torch_curve(x_np, y_np, epochs, seed=0):
             h = model.encoder(torch.from_numpy(x).reshape(len(x), -1))
         return h[:, :NODE].numpy()
 
-    return curve, posterior_means
+    return curve, comps, posterior_means
 
 
 def evaluate(posterior_means, ds_tr, ds_te):
@@ -189,13 +195,15 @@ def jax_side(x_np, y_np, epochs, seed=1):
                         y_np[:, :NODE].astype(np.float32),
                         jax.random.key(seed + 1000), 0)
     curve = [float(v) for v in np.asarray(ms["loss"])]
+    comps = {k: [float(v) for v in np.asarray(ms[k])]
+             for k in ("recon", "KL", "alignment")}
 
     from cdgvae_tpu.eval.downstream import extract_representations
 
     def posterior_means(x):
         return extract_representations(model, params, x)
 
-    return curve, posterior_means
+    return curve, comps, posterior_means
 
 
 def main():
@@ -228,14 +236,14 @@ def main():
           f"{args.epochs} epochs both sides", flush=True)
 
     t0 = time.time()
-    ours, post_jax = jax_side(x_np, y_np, args.epochs)
+    ours, ours_comps, post_jax = jax_side(x_np, y_np, args.epochs)
     t_jax = time.time() - t0
     ours_eval = evaluate(post_jax, ds_tr, ds_te)
     print(f"jax done in {t_jax:.1f}s; tail {ours[-1]:.2f}; "
           f"{ours_eval}", flush=True)
 
     t0 = time.time()
-    ref, post_torch = torch_curve(x_np, y_np, args.epochs)
+    ref, ref_comps, post_torch = torch_curve(x_np, y_np, args.epochs)
     t_torch = time.time() - t0
     ref_eval = evaluate(post_torch, ds_tr, ds_te)
     print(f"torch done in {t_torch:.1f}s; tail {ref[-1]:.2f}; "
@@ -244,8 +252,15 @@ def main():
     tail = slice(args.epochs // 2, None)
     gap = abs(np.mean(ours[tail]) - np.mean(ref[tail])) / \
         abs(np.mean(ref[tail]))
+    comp_tails = {
+        side + "_" + k: round(float(np.mean(c[k][-10:])), 4)
+        for side, c in (("jax", ours_comps), ("torch", ref_comps))
+        for k in ("recon", "KL", "alignment")}
+    print("component tails (last-10-epoch means):", comp_tails, flush=True)
     out = {"lambda": args.lam, "epochs": args.epochs, "n": args.n,
            "jax_curve": ours, "torch_curve": ref,
+           "jax_components": ours_comps, "torch_components": ref_comps,
+           "component_tails": comp_tails,
            "jax_seconds": round(t_jax, 1),
            "torch_seconds": round(t_torch, 1),
            "tail_relative_gap": float(gap),
