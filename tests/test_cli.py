@@ -158,6 +158,28 @@ def test_celeba_cli(workdir):
                                        "state.pkl"))
 
 
+def test_celeba_chunk_cadence(workdir):
+    """--chunk sets dispatch granularity only: the every-10-epoch
+    viz/mid-run-checkpoint cadence must hold regardless of chunking, and
+    the mid-run checkpoint must be resumable (the crash-retry path)."""
+    from cdgvae_tpu.cli import celeba_main
+    from cdgvae_tpu.utils.checkpoint import load_checkpoint
+    out = os.path.join(workdir, "celeba_chunk")
+    args = ["--img_size", "32", "--conv_dim", "4", "--batch_size", "4",
+            "--data_dir", "/nonexistent", "--assets_dir", out]
+    celeba_main.main(args + ["--epochs", "12", "--chunk", "3"])
+    # viz fired exactly at the 10-epoch boundary (epoch index 9), not at
+    # every 3-epoch chunk end
+    viz = sorted(f for f in os.listdir(out) if f.startswith("tmp_image"))
+    assert viz == ["tmp_image_9.png"]
+    ckpt = os.path.join(out, "celeba_CDGVAE_linear")
+    assert load_checkpoint(ckpt)["step"] == 12
+    # resume from the final checkpoint and continue to 14
+    celeba_main.main(args + ["--epochs", "14", "--chunk", "3",
+                             "--resume", ckpt])
+    assert load_checkpoint(ckpt)["step"] == 14
+
+
 def test_main_resume(workdir, pendulum_ckpt):
     """--resume restores params+opt+epoch and continues to the target."""
     from cdgvae_tpu.cli import main
