@@ -38,8 +38,30 @@ def arg_as_bool(s):
     raise argparse.ArgumentTypeError(f'expected a boolean, got "{s}"')
 
 
+def _platform_arg(s: str):
+    """``--platform`` value hook: force the JAX backend for this process.
+
+    Applied HERE, at parse time (argparse ``type`` hook), because the
+    override must land before the first device touch and every entry
+    point parses flags before touching devices. This jax build ignores
+    the ``JAX_PLATFORMS`` env var once jax is imported (observed: env
+    set, TPU still attached), so the in-process ``jax.config`` update —
+    the same mechanism tests/conftest.py uses — is the only reliable
+    override. Empty string (the default) is a no-op.
+    """
+    v = s.strip().lower()
+    if v:
+        jax.config.update("jax_platforms", v)
+    return v
+
+
 def add_infra_args(parser: argparse.ArgumentParser):
     """Framework-side flags that have no reference counterpart."""
+    parser.add_argument("--platform", default="", type=_platform_arg,
+                        help="force the JAX backend for this process "
+                             "(e.g. 'cpu' for drives while the TPU is "
+                             "busy or the tunnel is down); default: "
+                             "jax's platform priority order")
     parser.add_argument("--wandb", action="store_true",
                         help="enable wandb logging (optional here; the "
                              "reference hard-requires it)")

@@ -83,7 +83,10 @@ def run_seed(args, corpus: str, seed: int):
             "--epochs", str(args.epochs),
             "--img_size", str(args.img_size),
             "--seed", str(seed), "--lambda", str(args.lam),
+            "--conv_dim", str(args.conv_dim),
             "--chunk", str(args.chunk)]
+    if args.platform:
+        argv += ["--platform", args.platform]
     if args.bf16:
         argv.append("--bf16")
     if args.train_trunk:
@@ -121,6 +124,9 @@ def main():
                          "ImageNet weights, frozen random features cannot "
                          "support the alignment loss)")
     ap.add_argument("--lam", type=float, default=5.0)
+    ap.add_argument("--conv_dim", type=int, default=32,
+                    help="SAGAN generator base width (celeba_main "
+                         "--conv_dim); shrink for smoke runs")
     ap.add_argument("--tag", default="",
                     help="suffix for the output json/png filenames")
     ap.add_argument("--eval_only", action="store_true",
@@ -135,7 +141,14 @@ def main():
                     help="seconds to wait before a retry (a crashed TPU "
                          "worker takes minutes to come back)")
     ap.add_argument("--workdir", default="/tmp/celeba_study")
+    ap.add_argument("--platform", default="",
+                    help="force the JAX backend for the training "
+                         "subprocesses AND this process's eval (e.g. "
+                         "'cpu' while the TPU is busy/down)")
     args = ap.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     corpus = os.path.join(args.workdir, "corpus")
     # corpus reuse is keyed on the generation settings, not bare existence
@@ -157,11 +170,16 @@ def main():
         with open(meta_path, "w") as f:
             json.dump(meta, f)
 
-    per_seed = []
-    for seed in args.seeds:
-        ckpt_dir, train_s = run_seed(args, corpus, seed)
-        per_seed.append(evaluate(args, corpus, ckpt_dir, train_s,
-                                 seed == args.seeds[0]))
+    # Train ALL seeds first, evaluate after: evaluate() attaches this
+    # parent process to the TPU and never releases it, so interleaving
+    # eval with the next seed's training SUBPROCESS would contend for the
+    # (single-client) device. Sequencing all subprocesses before the
+    # parent's first jax touch keeps exactly one client alive at a time.
+    trained = [(seed,) + run_seed(args, corpus, seed)
+               for seed in args.seeds]
+    per_seed = [evaluate(args, corpus, ckpt_dir, train_s,
+                         seed == args.seeds[0])
+                for seed, ckpt_dir, train_s in trained]
 
     report(args, per_seed)
 
