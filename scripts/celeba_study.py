@@ -141,14 +141,15 @@ def main():
                     help="seconds to wait before a retry (a crashed TPU "
                          "worker takes minutes to come back)")
     ap.add_argument("--workdir", default="/tmp/celeba_study")
-    ap.add_argument("--platform", default="",
+    # the shared hook normalizes the value (strip/lower) and applies the
+    # in-process jax.config update at parse time, so the parent's eval and
+    # the training subprocesses see the same backend for the same flag value
+    from cdgvae_tpu.cli.common import _platform_arg
+    ap.add_argument("--platform", default="", type=_platform_arg,
                     help="force the JAX backend for the training "
                          "subprocesses AND this process's eval (e.g. "
                          "'cpu' while the TPU is busy/down)")
     args = ap.parse_args()
-    if args.platform:
-        import jax
-        jax.config.update("jax_platforms", args.platform)
 
     corpus = os.path.join(args.workdir, "corpus")
     # corpus reuse is keyed on the generation settings, not bare existence
@@ -258,6 +259,7 @@ def evaluate(args, corpus, ckpt_dir, train_s, render_grid):
         "seed": ck_cfg["seed"],
         "epochs": ck_cfg["epochs"], "bf16": ck_cfg.get("bf16"),
         "train_trunk": bool(ck_cfg.get("train_trunk")),
+        "conv_dim": ck_cfg.get("conv_dim"),
         "lambda": ck_cfg["lambda"],
         "train_wall_s": None if train_s is None else round(train_s, 1),
         "test_recon_l1": round(recon_l1, 4),
@@ -277,7 +279,7 @@ def report(args, per_seed):
                      "img_size": args.img_size, "epochs": args.epochs,
                      "seeds": args.seeds, "data_seed": args.data_seed,
                      "bf16": args.bf16, "train_trunk": args.train_trunk,
-                     "lambda": args.lam},
+                     "conv_dim": args.conv_dim, "lambda": args.lam},
         "nodes": per_seed[0]["nodes"],
         "diag_mean": [round(float(v), 3) for v in diags.mean(0)],
         "diag_std": [round(float(v), 3) for v in diags.std(0)],
