@@ -54,6 +54,13 @@ def get_args(debug: bool = False, argv=None):
                         help="train the encoder trunk end-to-end instead of "
                              "freezing it (reference freezes a pretrained "
                              "resnet18; no pretrained weights offline)")
+    parser.add_argument("--torch_weights", default="", type=str,
+                        help="path to a torchvision-layout resnet18 state "
+                             "dict (torch.save) to import into the encoder "
+                             "trunk before training — restores the "
+                             "reference's frozen-pretrained-encoder regime "
+                             "(celeba/module/model.py:117-125); BN running "
+                             "stats are honored (eval-mode normalization)")
     parser.add_argument("--bf16", action="store_true",
                         help="run the network in bfloat16 (params/losses "
                              "stay f32) — pays on this conv/MXU-bound "
@@ -97,6 +104,13 @@ def main(argv=None):
     key = jax.random.key(config["seed"])
     k_model, k_train = jax.random.split(key)
     params = model.init(k_model)
+    if config["torch_weights"]:
+        import torch
+        sd = torch.load(config["torch_weights"], map_location="cpu")
+        params["encoder"] = model.encoder.load_torch_weights(
+            params["encoder"], sd)
+        print(f"imported torchvision trunk from "
+              f"{config['torch_weights']}")
 
     mesh = resolve_mesh(config)
     optimizer = optax.adam(config["lr"])

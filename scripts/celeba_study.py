@@ -91,6 +91,8 @@ def run_seed(args, corpus: str, seed: int):
         argv.append("--bf16")
     if args.train_trunk:
         argv.append("--train_trunk")
+    if args.torch_weights:
+        argv += ["--torch_weights", args.torch_weights]
     t0 = time.time()
     for attempt in range(args.max_retries + 1):
         cmd = list(argv)
@@ -123,6 +125,11 @@ def main():
                     help="train the ResNet trunk end-to-end (without "
                          "ImageNet weights, frozen random features cannot "
                          "support the alignment loss)")
+    ap.add_argument("--torch_weights", default="",
+                    help="torchvision-layout resnet18 state dict to import "
+                         "+ freeze (the reference's pretrained-encoder "
+                         "regime; produce one with "
+                         "scripts/celeba_pretrain_torch.py)")
     ap.add_argument("--lam", type=float, default=5.0)
     ap.add_argument("--conv_dim", type=int, default=32,
                     help="SAGAN generator base width (celeba_main "
@@ -259,6 +266,7 @@ def evaluate(args, corpus, ckpt_dir, train_s, render_grid):
         "seed": ck_cfg["seed"],
         "epochs": ck_cfg["epochs"], "bf16": ck_cfg.get("bf16"),
         "train_trunk": bool(ck_cfg.get("train_trunk")),
+        "pretrained_trunk": bool(ck_cfg.get("torch_weights")),
         "conv_dim": ck_cfg.get("conv_dim"),
         "lambda": ck_cfg["lambda"],
         "train_wall_s": None if train_s is None else round(train_s, 1),
@@ -279,6 +287,7 @@ def report(args, per_seed):
                      "img_size": args.img_size, "epochs": args.epochs,
                      "seeds": args.seeds, "data_seed": args.data_seed,
                      "bf16": args.bf16, "train_trunk": args.train_trunk,
+                     "torch_weights": args.torch_weights,
                      "conv_dim": args.conv_dim, "lambda": args.lam},
         "nodes": per_seed[0]["nodes"],
         "diag_mean": [round(float(v), 3) for v in diags.mean(0)],

@@ -88,7 +88,7 @@ def run_seed(dataset: str, seed: int, epochs: int, train, test, G_real):
 
 
 def run_seed_tvae(dataset: str, seed: int, epochs: int, test, G_real,
-                  train):
+                  train, data_dir=None):
     """Reference CDG-TVAE protocol (tabular/main_tvae.py:82-97: 300
     epochs, batch 256, lr 1e-3, lambda 5, weight_decay 1e-5 as torch-style
     L2, sigma in [0.01, 0.1]); BGMM random_state varies with the seed so
@@ -99,7 +99,7 @@ def run_seed_tvae(dataset: str, seed: int, epochs: int, test, G_real,
     from cdgvae_tpu.eval.tabular_inference import sample_synthetic_tvae
 
     spec = DATASET_SPECS[dataset]
-    data = load_tabular_tvae(dataset, random_state=seed)
+    data = load_tabular_tvae(dataset, data_dir=data_dir, random_state=seed)
     config = dict(model="TVAE", dataset=dataset, scm="linear", flow_num=1,
                   inverse_loop=100, adjacency_scaling=True,
                   node=spec["node"], factor=list(spec["factor"]),
@@ -146,26 +146,54 @@ def main():
                          "(200 CDG-VAE / 300 CDG-TVAE)")
     ap.add_argument("--tvae", action="store_true",
                     help="CDG-TVAE protocol instead of CDG-VAE")
+    ap.add_argument("--data_dir", default="",
+                    help="directory of real-format CSVs — routes loading "
+                         "through the real-CSV loader branch (the one the "
+                         "byte-level fixtures in test_tabular_real_format "
+                         "prove) instead of the synthetic fallback arrays; "
+                         "generate one with scripts/tabular_fixture_corpus")
+    ap.add_argument("--fixture_corpus", action="store_true",
+                    help="generate a real-format fixture corpus into "
+                         "--data_dir (or a default tmp dir) before running")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
+    if args.fixture_corpus:
+        from tabular_fixture_corpus import write_corpus
+        args.data_dir = write_corpus(
+            args.data_dir or "/tmp/tabular_fixture_corpus",
+            datasets=tuple(args.datasets))
+    data_dir = args.data_dir or None
+    if data_dir:
+        # load_raw silently falls back to the synthetic arrays when the
+        # CSV is absent — a study claiming the real-CSV branch must fail
+        # loudly instead
+        for ds in args.datasets:
+            path = os.path.join(data_dir, DATASET_SPECS[ds]["csv"])
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"--data_dir given but {path} is missing; generate a "
+                    f"real-format corpus with --fixture_corpus")
     if not args.out:
         name = "tabular_seeds_tvae" if args.tvae else "tabular_seeds"
         args.out = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "docs", "results", f"{name}.json")
 
-    all_results = {}
+    all_results = {"loader_branch": ("real-csv" if data_dir
+                                     else "synthetic-fallback"),
+                   "data_dir": args.data_dir}
     for ds in args.datasets:
         spec = DATASET_SPECS[ds]
-        train = load_tabular(ds, train=True)
-        test = load_tabular(ds, train=False)
+        train = load_tabular(ds, train=True, data_dir=data_dir)
+        test = load_tabular(ds, train=False, data_dir=data_dir)
         # real-data CPDAG with the reference's indep-test choice (shared
         # helper, same rule as both inference CLIs)
         G_real = real_cpdag(train.frame, ds)
         baseline = efficacy(train.frame, test.frame, spec)
         if args.tvae:
             epochs = args.epochs or 300
-            rows = [run_seed_tvae(ds, s, epochs, test, G_real, train)
+            rows = [run_seed_tvae(ds, s, epochs, test, G_real, train,
+                                  data_dir=data_dir)
                     for s in range(1, args.seeds + 1)]
         else:
             epochs = args.epochs or 200

@@ -180,6 +180,35 @@ def test_celeba_chunk_cadence(workdir):
     assert load_checkpoint(ckpt)["step"] == 14
 
 
+def test_celeba_torch_weights(workdir):
+    """--torch_weights imports a torchvision-layout trunk before training;
+    with the default frozen trunk the imported weights (incl. BN running
+    stats) must survive training bit-exactly into the checkpoint."""
+    torch = pytest.importorskip("torch")
+    from cdgvae_tpu.cli import celeba_main
+    from cdgvae_tpu.utils.checkpoint import load_checkpoint
+    from test_celeba import _random_resnet18_state_dict
+
+    sd = _random_resnet18_state_dict(np.random.default_rng(3))
+    sd_path = os.path.join(workdir, "trunk.pt")
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, sd_path)
+
+    out = os.path.join(workdir, "celeba_tw")
+    celeba_main.main(["--img_size", "32", "--conv_dim", "4", "--epochs",
+                      "1", "--batch_size", "4", "--data_dir",
+                      "/nonexistent", "--assets_dir", out,
+                      "--torch_weights", sd_path])
+    ck = load_checkpoint(os.path.join(out, "celeba_CDGVAE_linear"))
+    enc = ck["params"]["encoder"]
+    np.testing.assert_array_equal(
+        np.asarray(enc["stem_conv"]["w"]),
+        sd["conv1.weight"].transpose(2, 3, 1, 0))  # OIHW -> HWIO
+    # running stats imported -> eval-mode BN in the frozen trunk
+    np.testing.assert_array_equal(np.asarray(enc["stem_bn"]["mean"]),
+                                  sd["bn1.running_mean"])
+    assert ck["config"]["torch_weights"] == sd_path
+
+
 def test_main_resume(workdir, pendulum_ckpt):
     """--resume restores params+opt+epoch and continues to the target."""
     from cdgvae_tpu.cli import main
