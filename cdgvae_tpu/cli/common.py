@@ -55,13 +55,21 @@ def _platform_arg(s: str):
     return v
 
 
-def add_infra_args(parser: argparse.ArgumentParser):
-    """Framework-side flags that have no reference counterpart."""
+def add_platform_arg(parser: argparse.ArgumentParser):
+    """--platform alone, for the eval/analysis CLIs whose parsers don't
+    take the full training infra set (they still touch devices, so they
+    need the backend override while the chip is busy or down)."""
     parser.add_argument("--platform", default="", type=_platform_arg,
                         help="force the JAX backend for this process "
                              "(e.g. 'cpu' for drives while the TPU is "
                              "busy or the tunnel is down); default: "
                              "jax's platform priority order")
+    return parser
+
+
+def add_infra_args(parser: argparse.ArgumentParser):
+    """Framework-side flags that have no reference counterpart."""
+    add_platform_arg(parser)
     parser.add_argument("--wandb", action="store_true",
                         help="enable wandb logging (optional here; the "
                              "reference hard-requires it)")

@@ -13,6 +13,7 @@ from ..factory import build_pendulum_model
 from ..eval.downstream import robustness
 from ..utils.checkpoint import load_checkpoint
 from ..utils.simulation import set_random_seed
+from .common import add_platform_arg
 
 
 def get_args(argv=None):
@@ -26,6 +27,7 @@ def get_args(argv=None):
                              "downstream representation")
     parser.add_argument("--assets_dir", default="./assets/robustness",
                         type=str)
+    add_platform_arg(parser)
     return parser.parse_args(argv)
 
 

@@ -18,6 +18,8 @@ import argparse
 
 import numpy as np
 
+from .common import add_platform_arg
+
 
 def get_args(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
@@ -34,6 +36,7 @@ def get_args(argv=None):
                              "grid is fixed at 100 (reference)")
     parser.add_argument("--image_size", default=96, type=int,
                         help="96 matches the reference's 1in x 96dpi PNGs")
+    add_platform_arg(parser)
     return parser.parse_args(argv)
 
 

@@ -20,6 +20,7 @@ from ..eval.inference import (encode_dataset, latent_ranges, do_grid,
 from ..utils.checkpoint import load_checkpoint
 from ..utils.simulation import set_random_seed
 from ..utils.viz import viz_do_grid, viz_bars, viz_pair, viz_gam_blocks
+from .common import add_platform_arg
 
 
 def get_args(argv=None):
@@ -28,6 +29,7 @@ def get_args(argv=None):
                         help="checkpoint directory written by cli.main")
     parser.add_argument("--assets_dir", default="./assets/inference",
                         type=str)
+    add_platform_arg(parser)
     return parser.parse_args(argv)
 
 

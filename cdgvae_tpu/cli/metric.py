@@ -19,6 +19,7 @@ from ..eval.metric import cdm_matrices
 from ..utils.checkpoint import load_checkpoint
 from ..utils.simulation import set_random_seed
 from ..utils.viz import viz_heatmap
+from .common import add_platform_arg
 from .main_classifier import classifier_masks
 
 
@@ -31,6 +32,7 @@ def get_args(argv=None):
     parser.add_argument("--num", type=int, default=0,
                         help="repeat id used in output filenames")
     parser.add_argument("--assets_dir", default="./assets/CDM", type=str)
+    add_platform_arg(parser)
     return parser.parse_args(argv)
 
 

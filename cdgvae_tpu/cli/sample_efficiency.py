@@ -12,6 +12,7 @@ from ..factory import build_pendulum_model
 from ..eval.downstream import sample_efficiency
 from ..utils.checkpoint import load_checkpoint
 from ..utils.simulation import set_random_seed
+from .common import add_platform_arg
 
 
 def get_args(argv=None):
@@ -21,6 +22,7 @@ def get_args(argv=None):
     parser.add_argument("--repeats", type=int, default=10)
     parser.add_argument("--assets_dir", default="./assets/sample_efficiency",
                         type=str)
+    add_platform_arg(parser)
     return parser.parse_args(argv)
 
 

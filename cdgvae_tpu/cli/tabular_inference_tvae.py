@@ -16,6 +16,7 @@ from ..eval.tabular_inference import (sample_synthetic_tvae, real_cpdag,
 from ..utils.pc import pc, cpdag_shd
 from ..utils.checkpoint import load_checkpoint
 from ..utils.simulation import set_random_seed
+from .common import add_platform_arg
 
 
 def get_args(argv=None):
@@ -23,6 +24,7 @@ def get_args(argv=None):
     parser.add_argument("--checkpoint", type=str, required=True)
     parser.add_argument("--data_dir", default="./data", type=str)
     parser.add_argument("--assets_dir", default="./assets/tabular", type=str)
+    add_platform_arg(parser)
     return parser.parse_args(argv)
 
 

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import optax
 
 from ..ops.losses import clipped_bce_probs
+from .common import add_platform_arg
 
 
 def generate(seed: int = 0, n: int = 10000, ratio: float = 0.9):
@@ -91,6 +92,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser("parameters")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--n", type=int, default=10000)
+    add_platform_arg(parser)
     args = parser.parse_args(argv)
 
     x, z, y = generate(args.seed, args.n, ratio=0.9)

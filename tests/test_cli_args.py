@@ -21,6 +21,25 @@ def test_platform_arg_sets_backend_before_device_touch():
     assert jax.default_backend() == "cpu"
 
 
+@pytest.mark.parametrize("mod,req", [
+    ("inference", ["--checkpoint", "x"]),
+    ("metric", ["--checkpoint", "x", "--classifier_checkpoint", "y"]),
+    ("sample_efficiency", ["--checkpoint", "x"]),
+    ("dr_robustness", ["--checkpoint", "x"]),
+    ("tabular_inference", ["--checkpoint", "x"]),
+    ("tabular_inference_tvae", ["--checkpoint", "x"]),
+    ("generate_data", ["--out", "x"]),
+])
+def test_eval_clis_accept_platform(mod, req):
+    """Every device-touching eval/analysis CLI takes --platform (the
+    backend override used for CPU drives while the chip is busy/down);
+    parsing '' must be a no-op."""
+    import importlib
+    m = importlib.import_module(f"cdgvae_tpu.cli.{mod}")
+    args = m.get_args(argv=req + ["--platform", ""])
+    assert args.platform == ""
+
+
 def test_arg_as_bool_rejects_garbage():
     assert arg_as_bool("True") is True
     assert arg_as_bool("0") is False
