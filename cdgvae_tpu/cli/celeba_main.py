@@ -153,6 +153,7 @@ def main(argv=None):
         # ownership of the data list: at 128px the corpus is GBs, so
         # nulling our locals releases the unsharded copy after the dp
         # reshard (viz keeps only the n_viz-row slice).
+        from ..models.sagan import sn_refresh
         from ..train.celeba_steps import make_celeba_loss_fn
         from .common import run_scanned_training
         raw = celeba_unjitted_step(model, optimizer, config["beta"],
@@ -166,6 +167,9 @@ def main(argv=None):
             make_loss=lambda: make_celeba_loss_fn(
                 model, config["beta"], config["lambda"],
                 compute_dtype=compute_dtype),
+            # dp path: the sharded runner applies the optimizer itself —
+            # the SN (u, v) state refresh rides as its post-update hook
+            post_update=sn_refresh,
             optimizer=optimizer, chunk=config["chunk"],
             start_epoch=start_epoch,
             on_epoch=on_epoch, post_epoch=post_epoch,

@@ -6,11 +6,20 @@ blocks, the 4x4 -> image_size Generator, and the (training-unused but
 shipped) discriminator blocks.
 
 Deviations from the torch original, both deliberate and documented:
-* Spectral norm is STATELESS: sigma is estimated per forward with
-  ``SN_POWER_ITERS`` power iterations from a persistent (non-updated) u
-  vector under stop_gradient, instead of torch's one-stateful-iteration-per-
-  forward (torch.nn.utils.spectral_norm). Asymptotically equivalent; avoids
-  threading mutable state through the functional API.
+* Spectral norm is STATEFUL like torch's (torch.nn.utils.spectral_norm),
+  but the power-iteration state update lives OUTSIDE the autodiff'd
+  forward: each SN site stores (u, v); the forward computes
+  ``sigma = u @ W @ v`` with u, v as stop-gradient constants (torch
+  detaches them identically), and :func:`sn_refresh` advances u, v by one
+  power iteration per optimizer step as a post-update hook on the params
+  pytree (wired into every CelebA training path). This removes the
+  round-1 design's 3 serialized power-iteration matvec chains from
+  inside every forward — profiled at ~10 ms/step (~6% of the batch-64
+  wall) across the ~100 SN sites of the 5-generator decoder — while
+  matching torch's semantics more closely (warm-started u tracks the
+  leading singular vector as weights drift; cold fixed-u estimation
+  degrades). Checkpoints from the stateless era (no stored "v") still
+  load: sites without "v" fall back to the legacy in-forward estimate.
 * BatchNorm uses batch statistics in all modes (the reference never
   switches its celeba model to eval mode, celeba/main.py has no model.eval()
   or save); no running averages are kept.
@@ -48,43 +57,99 @@ def _orthogonal(key, shape, dtype=jnp.float32):
         1, 2, 3, 0)
 
 
-def _sn_sigma(w2d: jax.Array, u: jax.Array) -> jax.Array:
-    """Spectral norm of a [rows, cols] matrix by power iteration from u."""
-    for _ in range(SN_POWER_ITERS):
+def _w2d(w: jax.Array) -> jax.Array:
+    """[out, flattened-in] view of an SN weight (linear [in,out] or HWIO
+    conv kernel)."""
+    if w.ndim == 2:
+        return w.T
+    return w.reshape(-1, w.shape[-1]).T  # [out, h*w*in]
+
+
+def _power_iterate(w2d: jax.Array, u: jax.Array, iters: int):
+    """``iters`` power iterations from u; returns (u, v) normalized."""
+    for _ in range(iters):
         v = w2d.T @ u
         v = v / (jnp.linalg.norm(v) + 1e-12)
         u = w2d @ v
         u = u / (jnp.linalg.norm(u) + 1e-12)
+    return u, v
+
+
+def _sn_sigma(w2d: jax.Array, u: jax.Array) -> jax.Array:
+    """Legacy stateless estimate (pre-"v" checkpoints): power-iterate in
+    the forward from the fixed stored u."""
+    u, v = _power_iterate(w2d, u, SN_POWER_ITERS)
     u = jax.lax.stop_gradient(u)
     v = jax.lax.stop_gradient(v)
     return u @ w2d @ v
 
 
+def _sigma(p: Params, w2d: jax.Array) -> jax.Array:
+    """Spectral-norm estimate of an SN site. Stateful sites (stored "v",
+    refreshed each step by :func:`sn_refresh`) pay only the sigma
+    contraction in the autodiff'd forward — u, v are constants there,
+    exactly torch's detached-u/v semantics."""
+    if "v" in p:
+        u = jax.lax.stop_gradient(p["u"])
+        v = jax.lax.stop_gradient(p["v"])
+        return u @ w2d @ v
+    return _sn_sigma(w2d, p["u"])
+
+
+def _is_sn_site(node) -> bool:
+    return isinstance(node, dict) and "u" in node and "w" in node
+
+
+def sn_site_refresh(p: Params, iters: int = 1) -> Params:
+    """Advance one SN site's (u, v) by ``iters`` power iterations from the
+    CURRENT weight — torch spectral_norm's per-forward state update, run
+    once per optimizer step outside autodiff."""
+    u, v = _power_iterate(_w2d(p["w"]), p["u"], iters)
+    return {**p, "u": u, "v": v}
+
+
+def sn_refresh(params, iters: int = 1):
+    """Post-update params hook: refresh every STATEFUL SN site's (u, v) in
+    a params pytree (dicts holding "w", "u" and "v"). Legacy sites (no
+    stored "v" — checkpoints from the stateless era) pass through
+    untouched so the pytree STRUCTURE is invariant — required for use as
+    a lax.scan carry update (those sites keep estimating in-forward).
+    Pure function, safe inside jit/scan/shard_map (the update is
+    deterministic, so replicated params stay replicated)."""
+    if _is_sn_site(params):
+        return sn_site_refresh(params, iters) if "v" in params else params
+    if isinstance(params, dict):
+        return {k: sn_refresh(v, iters) for k, v in params.items()}
+    return params
+
+
 def snlinear_init(key, in_f, out_f, dtype=jnp.float32) -> Params:
     kw, ku = jax.random.split(key)
-    return {"w": _orthogonal(kw, (in_f, out_f), dtype),
-            "b": jnp.zeros((out_f,), dtype),
-            "u": jax.random.normal(ku, (out_f,), dtype)}
+    p = {"w": _orthogonal(kw, (in_f, out_f), dtype),
+         "b": jnp.zeros((out_f,), dtype),
+         "u": jax.random.normal(ku, (out_f,), dtype)}
+    return sn_site_refresh(p, SN_POWER_ITERS)  # warm-start u, v
 
 
 def snlinear(p: Params, x: jax.Array) -> jax.Array:
     w2d = p["w"].T  # [out, in]
-    sigma = _sn_sigma(w2d, p["u"])
+    sigma = _sigma(p, w2d)
     return x @ (p["w"] / sigma) + p["b"]
 
 
 def snconv_init(key, in_ch, out_ch, kernel, dtype=jnp.float32) -> Params:
     kw, ku = jax.random.split(key)
-    return {"w": _orthogonal(kw, (kernel, kernel, in_ch, out_ch), dtype),
-            "b": jnp.zeros((out_ch,), dtype),
-            "u": jax.random.normal(ku, (out_ch,), dtype)}
+    p = {"w": _orthogonal(kw, (kernel, kernel, in_ch, out_ch), dtype),
+         "b": jnp.zeros((out_ch,), dtype),
+         "u": jax.random.normal(ku, (out_ch,), dtype)}
+    return sn_site_refresh(p, SN_POWER_ITERS)  # warm-start u, v
 
 
 def snconv2d(p: Params, x: jax.Array, stride: int = 1,
              padding="SAME") -> jax.Array:
     w = p["w"]
     w2d = w.reshape(-1, w.shape[-1]).T  # [out, in*k*k]
-    sigma = _sn_sigma(w2d, p["u"])
+    sigma = _sigma(p, w2d)
     y = jax.lax.conv_general_dilated(
         x, w / sigma, window_strides=(stride, stride), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -136,8 +201,15 @@ def noise_injection(p: Params, x: jax.Array, rng) -> jax.Array:
 
 
 def _upsample2(x):
+    """Nearest-neighbor 2x upsample as broadcast+reshape. Bit-identical to
+    ``jax.image.resize(..., method="nearest")`` at integer 2x (output pixel
+    (i, j) reads input (i//2, j//2)), but lowers to a fusible broadcast
+    instead of resize's gather — the resize version left ~8 ms/step of
+    layout-change copies on [B,2H,2W,C] tensors in the batch-64 CelebA
+    trace (docs/PERF.md round-3 MFU pass)."""
     B, H, W, C = x.shape
-    return jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+    return x.reshape(B, H * 2, W * 2, C)
 
 
 def gen_ini_block_init(key, z_dim, out_ch, add_noise=True,

@@ -55,7 +55,13 @@ def make_celeba_loss_fn(model, beta: float, lam: float, compute_dtype=None):
 def celeba_unjitted_step(model, optimizer: optax.GradientTransformation,
                          beta: float, lam: float, compute_dtype=None):
     """The raw (unjitted) CelebA step — used directly inside
-    train.scanned.make_scanned_epochs, or jitted via make_celeba_step."""
+    train.scanned.make_scanned_epochs, or jitted via make_celeba_step.
+
+    After each optimizer update the spectral-norm (u, v) state of every
+    SAGAN SN site is advanced one power iteration from the new weights
+    (models.sagan.sn_refresh — torch spectral_norm's stateful update,
+    outside autodiff)."""
+    from ..models.sagan import sn_refresh
     loss_fn = make_celeba_loss_fn(model, beta, lam, compute_dtype)
 
     def step(params, opt_state, x, y, rng):
@@ -63,7 +69,7 @@ def celeba_unjitted_step(model, optimizer: optax.GradientTransformation,
             loss_fn, has_aux=True)(params, x, y, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, metrics
+        return sn_refresh(params), opt_state, metrics
 
     return step
 

@@ -27,6 +27,47 @@ def test_spectral_norm_bounds_singular_value():
     assert np.isfinite(np.asarray(y)).all()
 
 
+def test_sn_stateful_refresh_tracks_spectral_norm():
+    """sn_refresh advances (u, v) like torch's stateful spectral_norm:
+    after a few refreshes against a CHANGED weight, the in-forward sigma
+    (u @ W @ v, constants) matches the true top singular value."""
+    p = sagan.snconv_init(jax.random.key(0), 8, 16, 3)
+    assert "v" in p  # stateful from init, warm-started
+    # replace the weight: stored (u, v) are now stale
+    w_new = jax.random.normal(jax.random.key(1), p["w"].shape)
+    p = dict(p, w=w_new)
+    for _ in range(20):
+        p = sagan.sn_refresh(p)
+    w2d = np.asarray(p["w"]).reshape(-1, p["w"].shape[-1]).T
+    sigma = float(np.asarray(p["u"]) @ w2d @ np.asarray(p["v"]))
+    top = np.linalg.svd(w2d, compute_uv=False)[0]
+    assert abs(sigma - top) / top < 1e-3
+
+
+def test_sn_refresh_keeps_legacy_sites_structure_invariant():
+    """Sites without stored "v" (stateless-era checkpoints) must pass
+    through sn_refresh bit-identical — the hook runs as a lax.scan carry
+    update, so the pytree structure cannot change — and the forward must
+    still work via the legacy in-forward estimate."""
+    p = sagan.snlinear_init(jax.random.key(0), 16, 8)
+    legacy = {k: v for k, v in p.items() if k != "v"}
+    tree = {"site": legacy, "other": {"w": jnp.ones((3,))}}
+    out = sagan.sn_refresh(tree)
+    assert jax.tree_util.tree_structure(out) == \
+        jax.tree_util.tree_structure(tree)
+    np.testing.assert_array_equal(np.asarray(out["site"]["u"]),
+                                  np.asarray(legacy["u"]))
+    y = sagan.snlinear(legacy, jnp.ones((2, 16)))
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_upsample2_matches_image_resize_nearest():
+    x = jax.random.normal(jax.random.key(0), (2, 5, 7, 3))
+    ref = jax.image.resize(x, (2, 10, 14, 3), method="nearest")
+    np.testing.assert_array_equal(np.asarray(sagan._upsample2(x)),
+                                  np.asarray(ref))
+
+
 def test_self_attn_shape_and_identity_at_init():
     p = sagan.self_attn_init(jax.random.key(0), 32)
     x = jax.random.normal(jax.random.key(1), (2, 8, 8, 32))
