@@ -3,7 +3,8 @@
 #
 # Default = the FAST tier (pyproject addopts excludes -m slow): ~5-6 min
 # on an otherwise-idle host (measured 2026-08-20 via
-# scripts/test_stability.sh: 267/297/324 s over 3 clean runs, 203 tests).
+# scripts/test_stability.sh: 267/297/324 s over 3 clean runs, 203 tests;
+# 208 tests after the stacked-decoder additions, 509 s contended).
 # Concurrent load inflates this heavily on the 1-CPU host (a judge run
 # contended with a TPU dryrun measured 9m53s).
 # --full  = everything, including the slow celeba/CLI e2e tests (~22 min).
