@@ -61,6 +61,14 @@ def get_args(debug: bool = False, argv=None):
                              "reference's frozen-pretrained-encoder regime "
                              "(celeba/module/model.py:117-125); BN running "
                              "stats are honored (eval-mode normalization)")
+    parser.add_argument("--stacked_decoder", default=False, type=arg_as_bool,
+                        help="evaluate the 5 SAGAN generators as one "
+                             "vmapped stacked program (functionally "
+                             "identical — models/sagan.py::StackedGenerator"
+                             " — but A/B'd ~8-10%% slower on-chip: XLA's "
+                             "grouped-conv lowering loses more than the "
+                             "DMA batching wins, docs/PERF.md). Checkpoints "
+                             "from either format load under either setting")
     parser.add_argument("--bf16", action="store_true",
                         help="run the network in bfloat16 (params/losses "
                              "stay f32) — pays on this conv/MXU-bound "
@@ -100,7 +108,8 @@ def main(argv=None):
     model = CelebACDGVAE(graph, latent_dim=config["latent_dim"],
                          image_size=config["img_size"],
                          conv_dim=config["conv_dim"],
-                         freeze_trunk=not config["train_trunk"])
+                         freeze_trunk=not config["train_trunk"],
+                         stacked=config["stacked_decoder"])
     key = jax.random.key(config["seed"])
     k_model, k_train = jax.random.split(key)
     params = model.init(k_model)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..ops.causal import CausalGraph
 from .resnet import ResNetEncoder
-from .sagan import Generator
+from .sagan import Generator, StackedGenerator, stack_generator_params
 
 
 class CelebAOutput(NamedTuple):
@@ -48,7 +48,8 @@ BLOCK_GROUPS = ([0, 2], [0, 3], [0, 4], [0, 1, 5])
 class CelebACDGVAE:
     def __init__(self, graph: CausalGraph, latent_dim: int = 6,
                  image_size: int = 128, conv_dim: int = 32,
-                 freeze_trunk: bool = True, dtype=jnp.float32):
+                 freeze_trunk: bool = True, stacked: bool = False,
+                 dtype=jnp.float32):
         assert graph.node == latent_dim, \
             "reference samples epsilon2 noise with node-sized draws " \
             "(model.py:185-187); node must equal latent_dim"
@@ -65,16 +66,44 @@ class CelebACDGVAE:
                       dtype=dtype) for g in BLOCK_GROUPS
         ] + [Generator(latent_dim, conv_dim=conv_dim,
                        image_size=image_size, dtype=dtype)]
+        # one vmapped program over all 5 generators (sagan.py::
+        # StackedGenerator). A/B'd SLOWER on the real chip at both batch
+        # 16 and 64 (docs/PERF.md round-3: XLA lowers the vmapped convs to
+        # feature-grouped convolutions whose TPU emitter is slower than 5
+        # sequential convs, outweighing the 5x DMA-descriptor saving) —
+        # default stays per-generator; ``decode`` dispatches on the params
+        # format, so checkpoints from either era run on either setting
+        self.stacked = stacked
+        self.stacked_gen = StackedGenerator(
+            [len(g) for g in BLOCK_GROUPS] + [latent_dim],
+            conv_dim=conv_dim, image_size=image_size, dtype=dtype)
         self.dtype = dtype
 
     def init(self, key) -> dict:
         ks = jax.random.split(key, self.K + 2)
+        if self.stacked:
+            decoder = {"stacked": stack_generator_params(
+                [g.init(ks[2 + i]) for i, g in enumerate(self.generators)],
+                self.stacked_gen.zmax)}
+        else:
+            decoder = {f"gen{i}": g.init(ks[2 + i])
+                       for i, g in enumerate(self.generators)}
         return {
             "encoder": self.encoder.init(ks[0]),
             "causal": self.graph.init(ks[1]),
-            "decoder": {f"gen{i}": g.init(ks[2 + i])
-                        for i, g in enumerate(self.generators)},
+            "decoder": decoder,
         }
+
+    def stack_decoder(self, params: dict) -> dict:
+        """Convert a per-generator-era checkpoint's params to the stacked
+        decoder format (exact functional equivalence — sagan.py::
+        _pad_gen_input)."""
+        if "stacked" in params["decoder"]:
+            return params
+        dec = {"stacked": stack_generator_params(
+            [params["decoder"][f"gen{i}"] for i in range(self.K)],
+            self.stacked_gen.zmax)}
+        return {**params, "decoder": dec}
 
     def get_posterior(self, params, x):
         """x [B, H, W, >=3]; uses RGB channels only (model.py:159)."""
@@ -105,6 +134,15 @@ class CelebACDGVAE:
         (xhat_separated tuple of [B,H,W,3], xhat [B,H,W,3])."""
         inputs = [latent[:, g] for g in BLOCK_GROUPS] + [epsilon2]
         rngs = jax.random.split(rng, self.K)
+        if "stacked" in params["decoder"]:
+            zmax = self.stacked_gen.zmax
+            z = jnp.stack([
+                jnp.pad(zi, ((0, 0), (0, zmax - zi.shape[1])))
+                for zi in inputs])  # [K, B, zmax], zero-padded
+            imgs = self.stacked_gen(params["decoder"]["stacked"], z, rngs)
+            masks_k = jnp.moveaxis(masks[..., : self.K], -1, 0)[..., None]
+            total = (imgs * masks_k).sum(axis=0)
+            return tuple(imgs[i] for i in range(self.K)), jnp.tanh(total)
         seps, total = [], 0.0
         for i, (gen, z) in enumerate(zip(self.generators, inputs)):
             img = gen(params["decoder"][f"gen{i}"], z, rngs[i])

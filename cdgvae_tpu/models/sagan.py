@@ -103,7 +103,11 @@ def _is_sn_site(node) -> bool:
 def sn_site_refresh(p: Params, iters: int = 1) -> Params:
     """Advance one SN site's (u, v) by ``iters`` power iterations from the
     CURRENT weight — torch spectral_norm's per-forward state update, run
-    once per optimizer step outside autodiff."""
+    once per optimizer step outside autodiff. Sites stacked by
+    :func:`stack_generator_params` (u carries a leading K axis) refresh
+    each slice independently via vmap."""
+    if p["u"].ndim == 2:  # stacked site: every leaf has a leading K axis
+        return jax.vmap(lambda q: sn_site_refresh(q, iters))(p)
     u, v = _power_iterate(_w2d(p["w"]), p["u"], iters)
     return {**p, "u": u, "v": v}
 
@@ -337,6 +341,92 @@ class Generator:
         x = jax.nn.relu(batchnorm(x, params["bn"]["scale"],
                                   params["bn"]["bias"]))
         return jnp.tanh(snconv2d(params["toRGB"], x))
+
+
+# ---------------------------------------------------------------------------
+# Stacked generators: K same-architecture Generators as ONE vmapped program
+# ---------------------------------------------------------------------------
+
+def _pad_gen_input(p: Params, zmax: int) -> Params:
+    """Zero-pad one generator's input linear (block0) to ``zmax`` input
+    rows. Padded rows only ever multiply zero-padded z entries, so outputs
+    AND gradients are unchanged (grad of a row = z_row · δ = 0; Adam keeps
+    a zero-grad row at zero), and the largest singular value — hence the
+    SN sigma — is invariant under zero-row padding. The stored power-
+    iteration "v" (dim = input) pads with zeros consistently: the refresh
+    v ∝ w2d.T @ u lands exactly 0 in padded slots."""
+    lin = p["block0"]["linear"]
+    zd = lin["w"].shape[0]
+    if zd == zmax:
+        return p
+    lin = dict(lin)
+    lin["w"] = jnp.zeros((zmax,) + lin["w"].shape[1:],
+                         lin["w"].dtype).at[:zd].set(lin["w"])
+    if "v" in lin:
+        lin["v"] = jnp.zeros((zmax,), lin["v"].dtype).at[:zd].set(lin["v"])
+    return {**p, "block0": {**p["block0"], "linear": lin}}
+
+
+def stack_generator_params(params_list, zmax: int) -> Params:
+    """Stack K per-generator param pytrees (identical structure modulo the
+    block0 input width, which is zero-padded to ``zmax``) into one pytree
+    whose every leaf carries a leading K axis."""
+    padded = [_pad_gen_input(p, zmax) for p in params_list]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
+
+
+class StackedGenerator:
+    """K same-architecture SAGAN Generators evaluated as ONE vmapped
+    program over a stacked parameter pytree.
+
+    Motivation (docs/PERF.md round-3 MFU pass): the per-generator CelebA
+    GAM decoder stages ~100 SN sites' tiny parameter tensors (f32[32],
+    f32[1,1,1,32], …) as individual HBM→VMEM DMAs — latency-bound churn
+    that left the batch-64 step ~75% idle. Stacking turns 5 generators'
+    tensors into one-fifth the DMA descriptors and batches their convs,
+    the same move that won 2× on the pendulum stacked GAM decoder
+    (models/vae.py::nn.stacked_dense).
+
+    MEASURED OUTCOME (docs/PERF.md round-3 stacked A/B): on the conv
+    family the move LOSES ~8-10% at batch 16 AND 64 — XLA lowers the
+    vmapped convs to feature-group_count=5 grouped convolutions, and the
+    TPU grouped-conv emitter is slower than 5 sequential dense convs by
+    more than the DMA batching saves (the scan while-loop itself got
+    ~12% slower in-trace). Kept as an opt-in
+    (``CelebACDGVAE(stacked=True)`` / ``--stacked_decoder true``) with
+    exact functional equivalence, checkpoint-format interop both ways,
+    and the A/B record — the default stays per-generator.
+
+    ``z_dims`` may differ per generator (reference parent groups are 2/2/
+    2/3-wide plus the 6-wide style generator, celeba/module/model.py:
+    189-195); inputs are zero-padded to ``max(z_dims)`` with exact
+    functional equivalence (see :func:`_pad_gen_input`).
+    """
+
+    def __init__(self, z_dims, conv_dim: int = 32, image_size: int = 128,
+                 out_channels: int = 3, add_noise: bool = True,
+                 attn: bool = True, dtype=jnp.float32):
+        self.z_dims = tuple(z_dims)
+        self.zmax = max(self.z_dims)
+        self.K = len(self.z_dims)
+        self._cfg = dict(conv_dim=conv_dim, image_size=image_size,
+                         out_channels=out_channels, add_noise=add_noise,
+                         attn=attn, dtype=dtype)
+        self.gen = Generator(self.zmax, **self._cfg)
+
+    def init(self, key) -> Params:
+        """Initialize each generator at its TRUE input width (bit-identical
+        per-slice values to K independent ``Generator.init`` calls on the
+        same keys), then stack."""
+        ks = jax.random.split(key, self.K)
+        ps = [Generator(zd, **self._cfg).init(k)
+              for zd, k in zip(self.z_dims, ks)]
+        return stack_generator_params(ps, self.zmax)
+
+    def __call__(self, params: Params, z: jax.Array, rngs) -> jax.Array:
+        """z [K, B, zmax] (zero-padded per slice), rngs [K] keys ->
+        [K, B, H, W, out_channels]."""
+        return jax.vmap(self.gen)(params, z, rngs)
 
 
 # ---------------------------------------------------------------------------

@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--profile_dir", default="/tmp/celeba_perf_trace")
     ap.add_argument("--out", default="docs/results/celeba_perf.json",
                     help="output json, repo-relative")
+    ap.add_argument("--stacked", action="store_true",
+                    help="A/B knob: the stacked vmapped decoder instead of "
+                         "the default per-generator path (measured slower "
+                         "— docs/PERF.md round-3 stacked A/B)")
     args = ap.parse_args()
 
     import jax
@@ -62,7 +66,7 @@ def main():
 
     graph = CausalGraph(celeba_B(SMILE_NODES, 0), scm="linear")
     model = CelebACDGVAE(graph, latent_dim=6, image_size=args.img_size,
-                         freeze_trunk=True)
+                         freeze_trunk=True, stacked=args.stacked)
     opt = optax.adam(1e-3)
 
     # the scanned runner donates (params, opt_state) — every pass needs a
