@@ -67,6 +67,8 @@ def _w2d(w: jax.Array) -> jax.Array:
 
 def _power_iterate(w2d: jax.Array, u: jax.Array, iters: int):
     """``iters`` power iterations from u; returns (u, v) normalized."""
+    if iters < 1:
+        raise ValueError("power iteration needs iters >= 1")
     for _ in range(iters):
         v = w2d.T @ u
         v = v / (jnp.linalg.norm(v) + 1e-12)
@@ -136,8 +138,7 @@ def snlinear_init(key, in_f, out_f, dtype=jnp.float32) -> Params:
 
 
 def snlinear(p: Params, x: jax.Array) -> jax.Array:
-    w2d = p["w"].T  # [out, in]
-    sigma = _sigma(p, w2d)
+    sigma = _sigma(p, _w2d(p["w"]))
     return x @ (p["w"] / sigma) + p["b"]
 
 
@@ -152,8 +153,7 @@ def snconv_init(key, in_ch, out_ch, kernel, dtype=jnp.float32) -> Params:
 def snconv2d(p: Params, x: jax.Array, stride: int = 1,
              padding="SAME") -> jax.Array:
     w = p["w"]
-    w2d = w.reshape(-1, w.shape[-1]).T  # [out, in*k*k]
-    sigma = _sigma(p, w2d)
+    sigma = _sigma(p, _w2d(w))
     y = jax.lax.conv_general_dilated(
         x, w / sigma, window_strides=(stride, stride), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))

@@ -48,6 +48,12 @@ def main():
                     help="A/B knob: the stacked vmapped decoder instead of "
                          "the default per-generator path (measured slower "
                          "— docs/PERF.md round-3 stacked A/B)")
+    ap.add_argument("--no_noise", action="store_true",
+                    help="measurement-only probe: drop every NoiseInjection "
+                         "site (NOT the reference model — sagan.py:75-84 "
+                         "always injects). Bounds how much of the step the "
+                         "noise RNG+broadcast chains can possibly cost "
+                         "(PERF.md candidate (b))")
     args = ap.parse_args()
 
     import jax
@@ -67,6 +73,10 @@ def main():
     graph = CausalGraph(celeba_B(SMILE_NODES, 0), scm="linear")
     model = CelebACDGVAE(graph, latent_dim=6, image_size=args.img_size,
                          freeze_trunk=True, stacked=args.stacked)
+    if args.no_noise:
+        assert not args.stacked, "--no_noise probes the default path"
+        for g in model.generators:  # flips both init and forward
+            g.add_noise = False
     opt = optax.adam(1e-3)
 
     # the scanned runner donates (params, opt_state) — every pass needs a

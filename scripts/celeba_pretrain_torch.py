@@ -113,9 +113,13 @@ def main():
                             seed=args.data_seed)
     xt, yt = synthetic_celeba(args.n_test, args.img_size,
                               seed=args.data_seed + 1)
-    # NCHW, RGB only, [-1, 1] (the encoder consumes tanh-range images)
+    # NCHW, RGB only, [0, 1] — the SAME range the downstream encoder
+    # consumes (models/celeba.py::get_posterior feeds x[..., :3] raw; only
+    # the recon TARGET is rescaled to [-1, 1] in the loss). Pretraining on
+    # a different range would hand the frozen trunk (and its imported BN
+    # running stats) a distribution it never saw.
     to_t = lambda a: torch.from_numpy(  # noqa: E731
-        (a[..., :3] * 2.0 - 1.0).transpose(0, 3, 1, 2).copy())
+        a[..., :3].transpose(0, 3, 1, 2).copy())
     x, y = to_t(x), torch.from_numpy(y)
     xt, yt = to_t(xt), torch.from_numpy(yt)
 

@@ -107,15 +107,29 @@ def covtype_real_format(n=12000, seed=0, nan_rows=20):
 
 def write_corpus(data_dir: str, seed: int = 0,
                  datasets=("loan", "adult", "covtype")) -> str:
+    """Reuse is keyed on the generation settings via a meta.json sidecar
+    (like scripts/celeba_study.py's corpus), so a stale corpus written at
+    a different seed — or a partial file from a crashed run — is
+    regenerated instead of silently reused."""
+    import json
     os.makedirs(data_dir, exist_ok=True)
     gens = {"loan": (loan_real_format, "Bank_Personal_Loan_Modelling.csv"),
             "adult": (adult_real_format, "adult.csv"),
             "covtype": (covtype_real_format, "covtype.csv")}
+    meta_path = os.path.join(data_dir, "meta.json")
     for ds in datasets:
         gen, fname = gens[ds]
         path = os.path.join(data_dir, fname)
-        if not os.path.exists(path):
-            gen(seed=seed).to_csv(path, index=False)
+        meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        if meta.get(ds) == seed and os.path.exists(path):
+            continue
+        gen(seed=seed).to_csv(path, index=False)
+        meta[ds] = seed
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
     return data_dir
 
 
@@ -124,6 +138,5 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--data_dir", default="/tmp/tabular_fixture_corpus")
     ap.add_argument("--seed", type=int, default=0)
-    ap.parse_args()
     args = ap.parse_args()
     print(write_corpus(args.data_dir, args.seed))
