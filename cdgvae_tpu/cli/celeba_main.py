@@ -126,6 +126,15 @@ def main(argv=None):
     compute_dtype = jnp.bfloat16 if config["bf16"] else None
     state = (params, optimizer.init(params))
     state, start_epoch = apply_resume(config, state)
+    # decode dispatches on the params format, so a resumed checkpoint keeps
+    # its own decoder layout regardless of --stacked_decoder (auto-converting
+    # would desync the loaded opt_state) — tell the operator which path runs
+    loaded_stacked = "stacked" in state[0]["decoder"]
+    if config["resume"] and loaded_stacked != config["stacked_decoder"]:
+        print(f"WARNING: resumed checkpoint stores a "
+              f"{'stacked' if loaded_stacked else 'per-generator'} decoder; "
+              f"--stacked_decoder {config['stacked_decoder']} is ignored — "
+              f"training continues in the checkpoint's format")
 
     os.makedirs(config["assets_dir"], exist_ok=True)
     # jit the recon viz: the SAGAN forward is hundreds of ops — run

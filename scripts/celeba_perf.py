@@ -89,7 +89,8 @@ def main():
     steps_per_call = (args.n_data // args.batch) * args.epochs_per_call
 
     results = {"device": kind, "batch": args.batch,
-               "img_size": args.img_size, "peak_bf16_tflops": peak}
+               "img_size": args.img_size, "peak_bf16_tflops": peak,
+               "stacked": args.stacked, "no_noise": args.no_noise}
 
     for name, dtype in (("f32", None), ("bf16", jnp.bfloat16)):
         step = celeba_unjitted_step(model, opt, beta=0.1, lam=5.0,

@@ -122,8 +122,11 @@ def write_corpus(data_dir: str, seed: int = 0,
         path = os.path.join(data_dir, fname)
         meta = {}
         if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                meta = json.load(f)
+            try:
+                with open(meta_path) as f:
+                    meta = json.load(f)
+            except (ValueError, OSError):
+                meta = {}  # truncated sidecar from a crashed run: regenerate
         if meta.get(ds) == seed and os.path.exists(path):
             continue
         gen(seed=seed).to_csv(path, index=False)
