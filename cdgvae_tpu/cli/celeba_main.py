@@ -69,6 +69,29 @@ def get_args(debug: bool = False, argv=None):
                              "grouped-conv lowering loses more than the "
                              "DMA batching wins, docs/PERF.md). Checkpoints "
                              "from either format load under either setting")
+    parser.add_argument("--align_warmup", default=0, type=int,
+                        help="opt-in ALIGNMENT-FIRST WARMUP: train the "
+                             "first N epochs on the alignment BCE alone "
+                             "(loss = lambda*align), then switch to the "
+                             "reference objective. Motivated by the "
+                             "round-4 linear-probe oracle: frozen-trunk "
+                             "features separate all 6 attributes "
+                             "linearly, but joint training from scratch "
+                             "plateaus at 4-5/6 — the 49152-pixel recon "
+                             "gradient drowns the 6-term BCE before "
+                             "alignment forms (docs/results/celeba_probe"
+                             ".json). Default 0 = reference protocol")
+    parser.add_argument("--packed_params", default=True, type=arg_as_bool,
+                        help="train on the packed params layout: the "
+                             "~1000 small leaves (biases, BN scales, SN "
+                             "u/v, noise weights) of the SAGAN+ResNet "
+                             "tree ride as one flat buffer per dtype, and "
+                             "the Adam moments follow — cutting the "
+                             "per-step HBM DMA descriptor count ~100x "
+                             "(ops/packing.py; A/B'd on-chip, docs/PERF.md "
+                             "round 4). Same math; checkpoints are always "
+                             "saved in the canonical unpacked layout, so "
+                             "runs with either setting resume each other")
     parser.add_argument("--bf16", action="store_true",
                         help="run the network in bfloat16 (params/losses "
                              "stay f32) — pays on this conv/MXU-bound "
@@ -136,12 +159,31 @@ def main(argv=None):
               f"--stacked_decoder {config['stacked_decoder']} is ignored — "
               f"training continues in the checkpoint's format")
 
+    # packed params layout (ops/packing.py): runtime-only re-layout — the
+    # checkpoint format stays canonical (unpacked), converted at the
+    # boundaries here, so either --packed_params setting resumes the other
+    packer = None
+    if config["packed_params"]:
+        from ..ops.packing import Packer, adam_state_map
+        packer = Packer(state[0])
+        state = (packer.pack(state[0]),
+                 adam_state_map(state[1], packer.pack))
+
+    def canonical(state):
+        """(params, opt_state) in the checkpoint (unpacked) layout."""
+        if packer is None:
+            return state
+        from ..ops.packing import adam_state_map
+        return (packer.unpack(state[0]),
+                adam_state_map(state[1], packer.unpack))
+
     os.makedirs(config["assets_dir"], exist_ok=True)
     # jit the recon viz: the SAGAN forward is hundreds of ops — run
     # eagerly, each would be its own device dispatch
     n_viz = min(9, len(x_data))
     x_viz = x_data[:n_viz]
-    viz_fwd = jax.jit(lambda p, x, r: model(p, x, rng=r).xhat)
+    viz_fwd = jax.jit(lambda p, x, r: model(
+        p if packer is None else packer.unpack(p), x, rng=r).xhat)
 
     def on_epoch(epoch, metrics):
         print(format_epoch(epoch, metrics))
@@ -158,7 +200,8 @@ def main(argv=None):
                        n=n_viz)
         # mid-run checkpoint: long 128px runs are crash-resumable via
         # --resume (the reference never saves the celeba model at all)
-        save_checkpoint(ckpt, state[0], opt_state=state[1],
+        c_params, c_opt = canonical(state)
+        save_checkpoint(ckpt, c_params, opt_state=c_opt,
                         step=epoch + 1, config=config)
 
     if not config["eager"]:
@@ -174,39 +217,76 @@ def main(argv=None):
         from ..models.sagan import sn_refresh
         from ..train.celeba_steps import make_celeba_loss_fn
         from .common import run_scanned_training
-        raw = celeba_unjitted_step(model, optimizer, config["beta"],
-                                   config["lambda"],
-                                   compute_dtype=compute_dtype)
-        data = [x_data, y_data]
-        x_data = y_data = None
-        state = run_scanned_training(
-            config, raw_step=raw, state=state, data=data, k_train=k_train,
-            mesh=mesh,
-            make_loss=lambda: make_celeba_loss_fn(
-                model, config["beta"], config["lambda"],
-                compute_dtype=compute_dtype),
-            # dp path: the sharded runner applies the optimizer itself —
-            # the SN (u, v) state refresh rides as its post-update hook
-            post_update=sn_refresh,
-            optimizer=optimizer, chunk=config["chunk"],
-            start_epoch=start_epoch,
-            on_epoch=on_epoch, post_epoch=post_epoch,
-            # keep the reference's every-10-epoch viz/checkpoint cadence
-            # regardless of the dispatch chunking
-            post_epoch_pred=lambda e: (e + 1) % 10 == 0)
+        def make_loss_for(align_only):
+            def make_loss():
+                lf = make_celeba_loss_fn(model, config["beta"],
+                                         config["lambda"],
+                                         compute_dtype=compute_dtype,
+                                         align_only=align_only)
+                if packer is None:
+                    return lf
+                return lambda pp, x, y, rng: lf(packer.unpack(pp), x, y,
+                                                rng)
+            return make_loss
+
+        # alignment-first warmup (--align_warmup N): phase 1 trains the
+        # first N epochs on the alignment objective alone, phase 2 the
+        # rest on the reference objective; 0 = single reference phase
+        warm = min(config["align_warmup"], config["epochs"])
+        phases = []
+        if warm > start_epoch:
+            phases.append((start_epoch, warm, True))
+        if config["epochs"] > max(start_epoch, warm):
+            phases.append((max(start_epoch, warm), config["epochs"],
+                           False))
+        for i, (e0, e1, align_only) in enumerate(phases):
+            raw = celeba_unjitted_step(model, optimizer, config["beta"],
+                                       config["lambda"],
+                                       compute_dtype=compute_dtype,
+                                       packer=packer,
+                                       align_only=align_only)
+            data = [x_data, y_data]
+            if i == len(phases) - 1:
+                # last phase: release our refs so the driver's ownership
+                # frees the unsharded copy after a dp reshard (the 128px
+                # corpus is GBs; viz keeps only the n_viz-row slice)
+                x_data = y_data = None
+            state = run_scanned_training(
+                {**config, "epochs": e1}, raw_step=raw, state=state,
+                data=data, k_train=k_train,
+                mesh=mesh,
+                make_loss=make_loss_for(align_only),
+                # dp path: the sharded runner applies the optimizer
+                # itself — the SN (u, v) state refresh rides as its
+                # post-update hook (through the packed view when
+                # --packed_params)
+                post_update=sn_refresh if packer is None else
+                (lambda pp: packer.map_unpacked(sn_refresh, pp)),
+                optimizer=optimizer, chunk=config["chunk"],
+                start_epoch=e0,
+                on_epoch=on_epoch, post_epoch=post_epoch,
+                # keep the reference's every-10-epoch viz/checkpoint
+                # cadence regardless of the dispatch chunking
+                post_epoch_pred=lambda e: (e + 1) % 10 == 0)
     else:
         step = make_celeba_step(model, optimizer, config["beta"],
                                 config["lambda"], mesh=mesh,
-                                compute_dtype=compute_dtype)
+                                compute_dtype=compute_dtype, packer=packer)
+        warm = min(config["align_warmup"], config["epochs"])
+        step_warm = None if warm <= start_epoch else make_celeba_step(
+            model, optimizer, config["beta"], config["lambda"], mesh=mesh,
+            compute_dtype=compute_dtype, packer=packer, align_only=True)
         shuffle_rng = np.random.default_rng(config["seed"] + start_epoch)
         for epoch in range(start_epoch, config["epochs"]):
+            active_step = step_warm if epoch < warm else step
             state, metrics = train_epoch(
-                step, state, x_data, y_data, config["batch_size"], k_train,
-                epoch, shuffle_rng, drop_remainder=True)
+                active_step, state, x_data, y_data, config["batch_size"],
+                k_train, epoch, shuffle_rng, drop_remainder=True)
             on_epoch(epoch, metrics)
             if epoch % 10 == 0:
                 post_epoch(state, epoch)
 
+    state = canonical(state)
     save_checkpoint(ckpt, state[0], opt_state=state[1],
                     step=config["epochs"], config=config)
     print(f"checkpoint saved to {ckpt}")

@@ -64,6 +64,14 @@ def get_args(debug: bool = False, argv=None):
                         help="observation noise")
     parser.add_argument("--lambda", default=5, type=float,
                         help="weight of label alignment loss")
+    parser.add_argument("--free_bits", default=0.0, type=float,
+                        help="opt-in posterior-collapse mitigation for "
+                             "the supervised VAE/CDGVAE protocol: floor "
+                             "the per-dim KL at this many nats (free "
+                             "bits; ops/losses.py). 0 = the exact "
+                             "reference objective (modules/train.py:"
+                             "180-186). Round-4 A/B: docs/results/"
+                             "cdm_seeds_freebits.json")
     parser.add_argument("--gamma", default=1, type=float,
                         help="weight of f-divergence (InfoMax)")
     parser.add_argument("--online", action="store_true",
@@ -148,7 +156,8 @@ def main(argv=None):
         state = (params, d_params, opt_state, opt_state_d)
     else:
         step = make_train_step(model, optimizer, config["beta"],
-                               config["lambda"], mesh=mesh)
+                               config["lambda"], mesh=mesh,
+                               free_bits=config["free_bits"])
         state = (params, opt_state)
 
     from .common import apply_resume
@@ -234,8 +243,9 @@ def main(argv=None):
         else:
             state = run_online_training(
                 config,
-                loss_fn=make_supervised_loss_fn(model, config["beta"],
-                                                config["lambda"]),
+                loss_fn=make_supervised_loss_fn(
+                    model, config["beta"], config["lambda"],
+                    free_bits=config["free_bits"]),
                 optimizer=optimizer, state=state, k_train=k_train,
                 mesh=mesh, start_epoch=start_epoch, on_epoch=_on_epoch,
                 sample_batch_builder=_sample_builder,
@@ -253,14 +263,16 @@ def main(argv=None):
         from ..train.scanned import make_supervised_loss_fn
         from .common import run_scanned_training
         raw = make_train_step(model, optimizer, config["beta"],
-                              config["lambda"], jit=False)
+                              config["lambda"], jit=False,
+                              free_bits=config["free_bits"])
         data = [x_data, y_data]
         x_data = y_data = None  # driver owns the training copy
         state = run_scanned_training(
             config, raw_step=raw, state=state, data=data, k_train=k_train,
             mesh=mesh,
             make_loss=lambda: make_supervised_loss_fn(
-                model, config["beta"], config["lambda"]),
+                model, config["beta"], config["lambda"],
+                free_bits=config["free_bits"]),
             optimizer=optimizer, chunk=5, start_epoch=start_epoch,
             on_epoch=_on_epoch, post_epoch=_post_epoch,
             post_epoch_pred=pred)

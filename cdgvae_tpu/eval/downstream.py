@@ -156,7 +156,8 @@ def worst_group_accuracy(clf, params, reps, targets,
 
 def robustness(model, params, train_x, train_y, test_x, test_y,
                seed: int = 0, repeats: int = 10, epochs: int = 500,
-               drop_last_latent: bool = True):
+               drop_last_latent: bool = True,
+               return_detail: bool = False):
     """DR robustness eval (reference DR/robustness.py): train the downstream
     classifier on the first node-1 latent means (spurious dim dropped),
     report average + worst-group accuracy where groups key on
@@ -181,5 +182,12 @@ def robustness(model, params, train_x, train_y, test_x, test_y,
         avg, worst = worst_group_accuracy(clf, p, reps_test, t_test, g_test)
         avgs.append(avg)
         worsts.append(worst)
-    return {"avg_accuracy": float(np.mean(avgs)),
-            "worst_group_accuracy": float(np.mean(worsts))}
+    out = {"avg_accuracy": float(np.mean(avgs)),
+           "worst_group_accuracy": float(np.mean(worsts))}
+    if return_detail:
+        # per-repeat spread: distinguishes a representation-level failure
+        # (all repeats low) from the downstream-fit lottery (high repeat
+        # variance) — the round-4 DR λ=20 one-seed-dip diagnosis
+        out["per_repeat_avg"] = [round(float(a), 4) for a in avgs]
+        out["per_repeat_worst"] = [round(float(w), 4) for w in worsts]
+    return out

@@ -228,7 +228,11 @@ class ResNetEncoder:
                         f"imported {new_leaf.shape} vs {old_leaf.shape}")
         return new
 
-    def __call__(self, params: Params, x: jax.Array) -> jax.Array:
+    def features(self, params: Params, x: jax.Array) -> jax.Array:
+        """The trunk's pooled features ([B, 512] for resnet18) — the
+        quantity the reference's frozen-encoder regime feeds its new fc
+        (celeba/module/model.py:117-125). Exposed for linear-probe
+        analyses of the frozen-feature ceiling (scripts/celeba_probe.py)."""
         trunk = {k: v for k, v in params.items() if k != "fc"}
         if self.freeze_trunk:
             trunk = jax.lax.stop_gradient(trunk)
@@ -243,5 +247,8 @@ class ResNetEncoder:
             for bi in range(n):
                 stride = 2 if (li > 0 and bi == 0) else 1
                 h = block(trunk[f"layer{li}_{bi}"], h, stride)
-        feat = h.mean(axis=(1, 2))  # global average pool
+        return h.mean(axis=(1, 2))  # global average pool
+
+    def __call__(self, params: Params, x: jax.Array) -> jax.Array:
+        feat = self.features(params, x)
         return feat @ params["fc"]["w"] + params["fc"]["b"]

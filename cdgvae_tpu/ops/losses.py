@@ -41,6 +41,21 @@ def kl_std_normal(mean: jax.Array, logvar: jax.Array) -> jax.Array:
     return 0.5 * kl.mean()
 
 
+def kl_std_normal_free_bits(mean: jax.Array, logvar: jax.Array,
+                            free_bits: float) -> jax.Array:
+    """Free-bits KL (Kingma et al., IAF-VAE appendix): per-LATENT-DIM
+    batch-mean KL floored at ``free_bits`` nats before summing —
+    dimensions already below the floor stop receiving KL gradient, the
+    standard posterior-collapse mitigation. ``free_bits=0`` reduces
+    exactly to :func:`kl_std_normal`. Opt-in deviation (the reference's
+    objective, modules/train.py:180-186, has no floor); used by
+    ``cli.main --free_bits`` for the round-4 collapse-mitigation A/B."""
+    mean = mean.astype(jnp.float32)
+    logvar = logvar.astype(jnp.float32)
+    kl_dim = 0.5 * (mean ** 2 - logvar + jnp.exp(logvar) - 1.0).mean(axis=0)
+    return jnp.maximum(kl_dim, free_bits).sum()
+
+
 def alignment_bce(align_latent: jax.Array, labels: jax.Array) -> jax.Array:
     """BCE(sigmoid(align_latent), labels) summed over nodes, batch mean.
 

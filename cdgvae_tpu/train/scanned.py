@@ -217,11 +217,16 @@ def _resolve_shard_map():
 
 
 def make_supervised_loss_fn(model, beta: float, lam: float,
-                            compute_dtype=None) -> Callable:
+                            compute_dtype=None,
+                            free_bits: float = 0.0) -> Callable:
     """The supervised image-family ELBO+alignment loss (pendulum/DR;
     reference modules/train.py:174-199) as a pure
     ``loss_fn(params, x, y, rng) -> (loss, metrics)`` — shared by the
-    scanned, sharded-scanned, and jitted step builders."""
+    scanned, sharded-scanned, and jitted step builders.
+
+    ``free_bits > 0`` floors the per-dim KL (losses.kl_std_normal_free_
+    bits) — the opt-in posterior-collapse mitigation; 0 is the exact
+    reference objective."""
     from ..ops import losses
     from .steps import _metrics, _forward
 
@@ -230,7 +235,11 @@ def make_supervised_loss_fn(model, beta: float, lam: float,
     def loss_fn(params, x, y, rng):
         out = _forward(model, params, x, rng, compute_dtype)
         recon = losses.gaussian_recon(out.xhat, x)
-        kl = losses.kl_std_normal(out.mean, out.logvar)
+        if free_bits > 0.0:
+            kl = losses.kl_std_normal_free_bits(out.mean, out.logvar,
+                                                free_bits)
+        else:
+            kl = losses.kl_std_normal(out.mean, out.logvar)
         align = losses.alignment_bce(out.align_latent, y[:, :node])
         loss = recon + beta * kl + lam * align
         return loss, _metrics(loss, recon, kl, align, out.logvar, node)
@@ -239,12 +248,13 @@ def make_supervised_loss_fn(model, beta: float, lam: float,
 
 
 def unjitted_step(model, optimizer, beta: float, lam: float,
-                  compute_dtype=None) -> Callable:
+                  compute_dtype=None, free_bits: float = 0.0) -> Callable:
     """The raw (unjitted) supervised step for use inside scans — same math
     as train.steps.make_train_step."""
     import optax
 
-    loss_fn = make_supervised_loss_fn(model, beta, lam, compute_dtype)
+    loss_fn = make_supervised_loss_fn(model, beta, lam, compute_dtype,
+                                      free_bits=free_bits)
 
     def step(params, opt_state, x, y, rng):
         (loss, metrics), grads = jax.value_and_grad(

@@ -62,20 +62,26 @@ def _metrics(loss, recon, kl, align, logvar, node, extra=None):
 def make_train_step(model, optimizer: optax.GradientTransformation,
                     beta: float, lam: float, mesh=None,
                     donate: bool = True, compute_dtype=None,
-                    jit: bool = True) -> Callable:
+                    jit: bool = True, free_bits: float = 0.0) -> Callable:
     """Supervised VAE/CDG-VAE step (reference train_VAE / train_CDGVAE,
     modules/train.py:10-69, :150-209).
 
     Returns step(params, opt_state, x, y, rng) ->
         (params, opt_state, metrics). ``jit=False`` returns the raw step for
     use inside the scan-compiled trainer (train/scanned.py).
+    ``free_bits > 0`` floors the per-dim KL (the opt-in posterior-collapse
+    mitigation, losses.kl_std_normal_free_bits); 0 = reference objective.
     """
     node = model.node
 
     def loss_fn(params, x, y, rng):
         out = _forward(model, params, x, rng, compute_dtype)
         recon = losses.gaussian_recon(out.xhat, x)
-        kl = losses.kl_std_normal(out.mean, out.logvar)
+        if free_bits > 0.0:
+            kl = losses.kl_std_normal_free_bits(out.mean, out.logvar,
+                                                free_bits)
+        else:
+            kl = losses.kl_std_normal(out.mean, out.logvar)
         align = losses.alignment_bce(out.align_latent, y[:, :node])
         loss = recon + beta * kl + lam * align
         return loss, _metrics(loss, recon, kl, align, out.logvar, node)

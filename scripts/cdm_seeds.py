@@ -52,7 +52,7 @@ def log(msg):
 
 
 def run_seed(seed: int, scm: str, semi: bool, model_name: str = "CDGVAE",
-             gamma: float = 1.0):
+             gamma: float = 1.0, free_bits: float = 0.0):
     CONFIG["scm"] = scm
     CONFIG["model"] = model_name
     ds = PendulumDataset(image_size=64, train=True, seed=seed)
@@ -96,7 +96,8 @@ def run_seed(seed: int, scm: str, semi: bool, model_name: str = "CDGVAE",
         params, _, m = run(params, opt.init(params), x, x_l, y_l,
                            jax.random.key(seed + 1000), 0)
     else:
-        step = unjitted_step(model, opt, CONFIG["beta"], CONFIG["lambda"])
+        step = unjitted_step(model, opt, CONFIG["beta"], CONFIG["lambda"],
+                             free_bits=free_bits)
         run = make_scanned_epochs(step, batch_size=CONFIG["batch_size"],
                                   n_epochs_per_call=CONFIG["epochs"])
         params, _, m = run(params, opt.init(params), x, y,
@@ -147,8 +148,14 @@ def main():
                     help="baseline rows of appendix Tables 10-11")
     ap.add_argument("--gamma", type=float, default=1.0,
                     help="InfoMax MI weight (reference main.py:103)")
+    ap.add_argument("--free_bits", type=float, default=0.0,
+                    help="per-dim KL floor in nats (supervised CDGVAE "
+                         "protocol only) — the round-4 posterior-collapse"
+                         " mitigation A/B; 0 = reference objective")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
+    if args.free_bits and (args.semi or args.model != "CDGVAE"):
+        ap.error("--free_bits A/B targets the supervised CDGVAE protocol")
     if args.semi and args.model != "CDGVAE":
         ap.error("the reference's semi-supervised protocol is CDGVAE-only")
     if not args.out:
@@ -156,6 +163,8 @@ def main():
         suffix += "" if args.scm == "linear" else f"_{args.scm}"
         if args.semi:
             suffix += "_semi"
+        if args.free_bits:
+            suffix += "_freebits"
         args.out = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "docs", "results", f"cdm_seeds{suffix}.json")
@@ -163,7 +172,7 @@ def main():
     lowers, uppers = [], []
     for seed in range(1, args.seeds + 1):
         lo, up = run_seed(seed, args.scm, args.semi, args.model,
-                          args.gamma)
+                          args.gamma, args.free_bits)
         lowers.append(lo)
         uppers.append(up)
 
@@ -176,6 +185,7 @@ def main():
         "scm": args.scm,
         "semi": args.semi,
         "model": args.model,
+        "free_bits": args.free_bits,
         "protected_mean": np.abs(prot).mean(0).round(4).tolist(),
         "protected_std": np.abs(prot).std(0).round(4).tolist(),
         "seeds": list(range(1, args.seeds + 1)),

@@ -48,6 +48,13 @@ def main():
                     help="A/B knob: the stacked vmapped decoder instead of "
                          "the default per-generator path (measured slower "
                          "— docs/PERF.md round-3 stacked A/B)")
+    ap.add_argument("--packed", action="store_true",
+                    help="A/B knob: train on the packed small-leaf params "
+                         "layout (ops/packing.py — one flat buffer per "
+                         "dtype instead of ~1000 tiny tensors, Adam "
+                         "moments included; the round-4 DMA-descriptor "
+                         "fix for the tiny-tensor staging churn named by "
+                         "the round-3 trace decomposition)")
     ap.add_argument("--no_noise", action="store_true",
                     help="measurement-only probe: drop every NoiseInjection "
                          "site (NOT the reference model — sagan.py:75-84 "
@@ -81,8 +88,14 @@ def main():
 
     # the scanned runner donates (params, opt_state) — every pass needs a
     # fresh init (same key -> identical values)
+    packer = None
+    if args.packed:
+        from cdgvae_tpu.ops.packing import Packer
+        packer = Packer(model.init(jax.random.key(0)))
+
     def fresh_params():
-        return model.init(jax.random.key(0))
+        p = model.init(jax.random.key(0))
+        return p if packer is None else packer.pack(p)
 
     x_np, y_np = synthetic_celeba(args.n_data, args.img_size, seed=1)
     x, y = jnp.asarray(x_np), jnp.asarray(y_np)
@@ -90,11 +103,12 @@ def main():
 
     results = {"device": kind, "batch": args.batch,
                "img_size": args.img_size, "peak_bf16_tflops": peak,
-               "stacked": args.stacked, "no_noise": args.no_noise}
+               "stacked": args.stacked, "no_noise": args.no_noise,
+               "packed": args.packed}
 
     for name, dtype in (("f32", None), ("bf16", jnp.bfloat16)):
         step = celeba_unjitted_step(model, opt, beta=0.1, lam=5.0,
-                                    compute_dtype=dtype)
+                                    compute_dtype=dtype, packer=packer)
         run = make_scanned_epochs(step, batch_size=args.batch,
                                   n_epochs_per_call=args.epochs_per_call)
         params = fresh_params()
@@ -137,7 +151,7 @@ def main():
 
     # xplane profile of the bf16 scanned run (one call)
     step = celeba_unjitted_step(model, opt, beta=0.1, lam=5.0,
-                                compute_dtype=jnp.bfloat16)
+                                compute_dtype=jnp.bfloat16, packer=packer)
     run = make_scanned_epochs(step, batch_size=args.batch,
                               n_epochs_per_call=args.epochs_per_call)
     pp = fresh_params()

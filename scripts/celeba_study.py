@@ -93,6 +93,8 @@ def run_seed(args, corpus: str, seed: int):
         argv.append("--train_trunk")
     if args.torch_weights:
         argv += ["--torch_weights", args.torch_weights]
+    if args.align_warmup:
+        argv += ["--align_warmup", str(args.align_warmup)]
     t0 = time.time()
     for attempt in range(args.max_retries + 1):
         cmd = list(argv)
@@ -131,6 +133,10 @@ def main():
                          "regime; produce one with "
                          "scripts/celeba_pretrain_torch.py)")
     ap.add_argument("--lam", type=float, default=5.0)
+    ap.add_argument("--align_warmup", type=int, default=0,
+                    help="celeba_main --align_warmup passthrough "
+                         "(alignment-first warmup epochs; round-4 probe "
+                         "follow-up)")
     ap.add_argument("--conv_dim", type=int, default=32,
                     help="SAGAN generator base width (celeba_main "
                          "--conv_dim); shrink for smoke runs")
@@ -269,6 +275,7 @@ def evaluate(args, corpus, ckpt_dir, train_s, render_grid):
         "pretrained_trunk": bool(ck_cfg.get("torch_weights")),
         "conv_dim": ck_cfg.get("conv_dim"),
         "lambda": ck_cfg["lambda"],
+        "align_warmup": ck_cfg.get("align_warmup", 0),
         "train_wall_s": None if train_s is None else round(train_s, 1),
         "test_recon_l1": round(recon_l1, 4),
         "latent_attr_corr_diag": [round(float(v), 3) for v in diag],
@@ -288,7 +295,8 @@ def report(args, per_seed):
                      "seeds": args.seeds, "data_seed": args.data_seed,
                      "bf16": args.bf16, "train_trunk": args.train_trunk,
                      "torch_weights": args.torch_weights,
-                     "conv_dim": args.conv_dim, "lambda": args.lam},
+                     "conv_dim": args.conv_dim, "lambda": args.lam,
+                     "align_warmup": args.align_warmup},
         "nodes": per_seed[0]["nodes"],
         "diag_mean": [round(float(v), 3) for v in diags.mean(0)],
         "diag_std": [round(float(v), 3) for v in diags.std(0)],

@@ -33,7 +33,8 @@ from cdgvae_tpu.eval.downstream import (robustness,  # noqa: E402
 
 
 def run_config(beta, lam, x, y, x_te, y_te, ds_tr, ds_te, epochs=100,
-               seed=1, scm="linear", online=False):
+               seed=1, scm="linear", online=False, repeats=10,
+               detail=False):
     config = dict(model="CDGVAE", node=5, scm=scm, flow_num=1,
                   inverse_loop=100, factor=[1, 1, 2], image_size=64,
                   adjacency_scaling=True)
@@ -61,7 +62,8 @@ def run_config(beta, lam, x, y, x_te, y_te, ds_tr, ds_te, epochs=100,
     jax.block_until_ready(ms["loss"])
     dt = time.time() - t0
     res = robustness(model, params, ds_tr.x_data, ds_tr.y_data,
-                     ds_te.x_data, ds_te.y_data, seed=0, repeats=10)
+                     ds_te.x_data, ds_te.y_data, seed=0, repeats=repeats,
+                     return_detail=detail)
     # leak probe: per-latent |corr| with the background on the test split
     reps = extract_representations(model, params, ds_te.x_data)
     bg = np.asarray(ds_te.y_data)[:, -2]
@@ -73,7 +75,10 @@ def run_config(beta, lam, x, y, x_te, y_te, ds_tr, ds_te, epochs=100,
             "final_loss": round(float(np.asarray(ms["loss"])[-1]), 1),
             "avg_accuracy": round(res["avg_accuracy"], 4),
             "worst_group_accuracy": round(res["worst_group_accuracy"], 4),
-            "bg_corr_per_latent": leaks}
+            "bg_corr_per_latent": leaks,
+            **({"per_repeat_avg": res["per_repeat_avg"],
+                "per_repeat_worst": res["per_repeat_worst"]}
+               if detail else {})}
 
 
 def main():
@@ -91,6 +96,15 @@ def main():
                          "beta/lambda grid")
     ap.add_argument("--scm", default="linear",
                     choices=["linear", "nonlinear"])
+    ap.add_argument("--repeats", type=int, default=10,
+                    help="downstream-classifier refits per config "
+                         "(reference DR/robustness.py: 10)")
+    ap.add_argument("--detail", action="store_true",
+                    help="record per-repeat avg/worst-group accuracies — "
+                         "separates representation-level failures (all "
+                         "repeats low) from the downstream-fit lottery "
+                         "(high repeat spread); round-4 λ=20 dip "
+                         "diagnosis")
     ap.add_argument("--online", action="store_true",
                     help="train with fresh-data-per-step (train/online.py)"
                          " instead of the fixed dataset; eval unchanged")
@@ -116,7 +130,8 @@ def main():
         y = jax.device_put(ds_align.y_data)
         for beta, lam in grid:
             r = run_config(beta, lam, x, y, None, None, ds_tr, ds_te,
-                           seed=seed, scm=args.scm, online=args.online)
+                           seed=seed, scm=args.scm, online=args.online,
+                           repeats=args.repeats, detail=args.detail)
             print(json.dumps(r), flush=True)
             results.append(r)
 

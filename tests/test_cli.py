@@ -597,3 +597,25 @@ def test_log_artifact_publishes_checkpoint(workdir, monkeypatch):
 
     # no wandb requested -> no-op, no error
     MetricLogger().log_artifact("m", ckpt)
+
+
+def test_celeba_align_warmup_phases(workdir):
+    """--align_warmup N: phase-1 epochs train on the alignment objective
+    alone, then the reference objective resumes; the run completes and
+    checkpoints normally (metrics keys unchanged across the phase
+    boundary)."""
+    from cdgvae_tpu.cli import celeba_main
+    from cdgvae_tpu.utils.checkpoint import load_checkpoint
+    out = os.path.join(workdir, "celeba_warm")
+    celeba_main.main(["--img_size", "32", "--conv_dim", "4", "--epochs",
+                      "2", "--batch_size", "4", "--data_dir",
+                      "/nonexistent", "--assets_dir", out,
+                      "--align_warmup", "1", "--chunk", "1"])
+    ck = load_checkpoint(os.path.join(out, "celeba_CDGVAE_linear"))
+    assert ck["step"] == 2
+    assert ck["config"]["align_warmup"] == 1
+    # metrics logged for both epochs (phase boundary did not skip any)
+    import json
+    lines = [json.loads(l) for l in
+             open(os.path.join(out, "metrics.jsonl"))]
+    assert [l["step"] for l in lines] == [0, 1]

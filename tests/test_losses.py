@@ -72,3 +72,27 @@ def test_clipped_bce_probs_matches_manual_form():
     sat = np.asarray(clipped_bce_probs(jnp.asarray([0.0, 1.0]),
                                        jnp.asarray([1.0, 0.0])))
     assert np.all(np.isfinite(sat))
+
+
+def test_free_bits_kl_reduces_to_standard_at_zero_and_floors():
+    """kl_std_normal_free_bits: at free_bits=0 it equals kl_std_normal
+    exactly; above 0 each dim contributes at least the floor, and dims
+    already above the floor are unchanged (hand-computed 2-dim case)."""
+    from cdgvae_tpu.ops.losses import kl_std_normal, kl_std_normal_free_bits
+
+    rng = np.random.default_rng(7)
+    mean = jnp.asarray(rng.normal(size=(32, 4)).astype(np.float32))
+    logvar = jnp.asarray(rng.normal(size=(32, 4)).astype(np.float32) * 0.3)
+    np.testing.assert_allclose(
+        float(kl_std_normal_free_bits(mean, logvar, 0.0)),
+        float(kl_std_normal(mean, logvar)), rtol=1e-6)
+
+    # dim 0 collapsed (mean 0, logvar 0 -> KL 0), dim 1 far above floor
+    mean2 = jnp.asarray([[0.0, 3.0]] * 8, jnp.float32)
+    logvar2 = jnp.zeros((8, 2), jnp.float32)
+    kl_dim1 = 0.5 * 9.0  # 0.5 * mean^2
+    got = float(kl_std_normal_free_bits(mean2, logvar2, 0.5))
+    np.testing.assert_allclose(got, 0.5 + kl_dim1, rtol=1e-6)
+    # floor larger than every dim: total = n_dims * floor
+    got_hi = float(kl_std_normal_free_bits(mean2, logvar2, 10.0))
+    np.testing.assert_allclose(got_hi, 20.0, rtol=1e-6)
