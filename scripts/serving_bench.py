@@ -1,0 +1,151 @@
+"""Serving-surface throughput bench: api.LoadedModel on the real chip.
+
+Measures the three pendulum serving paths (reference counterparts:
+reconstruct = inference.py recon pass; counterfactual = the do-operator,
+inference.py:298-327; sample = z~N(0,I) generation, tabular/inference.py
+:226-241 analog) and — new in round 4 — the CelebA serving paths
+(reconstruct and encode→do→SAGAN-decode counterfactual) that
+api.LoadedModel has supported since round 2 but were never benched.
+
+Protocol (docs/PERF.md "Serving surface"): batch-sized device-resident
+inputs driven through the ONCE-jitted internal paths; "pipelined" =
+``reps`` async dispatches, block at the end (jax's default dispatch
+model — what a co-located serving client achieves); "blocking" = one
+synchronous call (pays the dev-tunnel's ~30 ms round trip per call;
+meaningless in deployment, reported for transparency).
+
+Checkpoints are trained in-place (subprocess CLI, reference-protocol
+shapes, short epochs — serving speed is architecture-shaped, not
+training-quality-shaped) and reused across runs.
+
+Writes docs/results/serving_r04.json.
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from cdgvae_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def ensure_checkpoint(workdir, family, img_size):
+    if family == "pendulum":
+        ckpt = os.path.join(workdir, "pend", "model_CDGVAE_linear")
+        argv = [sys.executable, "-m", "cdgvae_tpu.cli.main",
+                "--model", "CDGVAE", "--epochs", "12", "--n_samples",
+                "2048", "--assets_dir", os.path.join(workdir, "pend")]
+    else:
+        ckpt = os.path.join(workdir, "celeba", "celeba_CDGVAE_linear")
+        argv = [sys.executable, "-m", "cdgvae_tpu.cli.celeba_main",
+                "--epochs", "4", "--img_size", str(img_size),
+                "--chunk", "2", "--data_dir", "/nonexistent",
+                "--assets_dir", os.path.join(workdir, "celeba")]
+    if not os.path.isdir(ckpt):
+        r = subprocess.run(argv, cwd=REPO)
+        if r.returncode != 0:
+            raise RuntimeError(f"{family} checkpoint training failed")
+    return ckpt
+
+
+def timed(fn, reps):
+    """(pipelined imgs-equivalent wall, blocking wall) for one path."""
+    import jax
+    out = fn()
+    jax.block_until_ready(out)  # warm/compile
+    t0 = time.perf_counter()
+    outs = [fn() for _ in range(reps)]  # async dispatch pipeline
+    jax.block_until_ready(outs)
+    pipelined = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn())
+    blocking = time.perf_counter() - t0
+    return pipelined, blocking
+
+
+def bench_family(family, ckpt, batch, reps, img_size=128):
+    import jax
+    import jax.numpy as jnp
+    from cdgvae_tpu.api import LoadedModel
+
+    m = LoadedModel.load(ckpt)
+    rows = {}
+    if family == "pendulum":
+        from cdgvae_tpu.data.pendulum import sample_factors_real
+        from cdgvae_tpu.ops.renderer import render
+        factors, _ = sample_factors_real(seed=3, n=batch)
+        x = render(jnp.asarray(factors[:, :4], jnp.float32),
+                   size=m.config["image_size"])
+        eps = jnp.asarray(np.random.default_rng(0).normal(
+            size=(batch, m.model.node)).astype(np.float32))
+        paths = {
+            "reconstruct": lambda: m._fwd(m.params, x),
+            "counterfactual": lambda: m._cf(m.params, x, do_index=0,
+                                            value=jnp.float32(0.5)),
+            "sample": lambda: m._gen(m.params, eps),
+        }
+    else:
+        from cdgvae_tpu.data.celeba import synthetic_celeba
+        x_np, _ = synthetic_celeba(batch, img_size, seed=3)
+        x = jnp.asarray(x_np)
+        paths = {
+            "reconstruct": lambda: m._fwd(m.params, x),
+            "counterfactual": lambda: m._cf(m.params, x, do_index=0,
+                                            value=jnp.float32(0.5)),
+        }
+    for name, fn in paths.items():
+        pipelined, blocking = timed(fn, reps)
+        rows[name] = {
+            "batch": batch,
+            "pipelined_imgs_per_sec": round(reps * batch / pipelined, 1),
+            "blocking_imgs_per_sec": round(batch / blocking, 1),
+        }
+        print(f"{family}/{name}: {rows[name]}", flush=True)
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--families", nargs="+",
+                    default=["pendulum", "celeba"])
+    ap.add_argument("--batch", type=int, default=1024,
+                    help="pendulum serving batch (PERF.md protocol)")
+    ap.add_argument("--celeba_batch", type=int, default=128,
+                    help="celeba serving batch (128px 8-channel inputs "
+                         "are 0.5 MB each — big batches are HBM-bound)")
+    ap.add_argument("--reps", type=int, default=30)
+    ap.add_argument("--img_size", type=int, default=128)
+    ap.add_argument("--workdir", default="/tmp/serving_bench")
+    ap.add_argument("--out", default="docs/results/serving_r04.json")
+    from cdgvae_tpu.cli.common import _platform_arg
+    ap.add_argument("--platform", default="", type=_platform_arg)
+    args = ap.parse_args()
+
+    import jax
+    results = {"date": time.strftime("%Y-%m-%d"),
+               "device": jax.devices()[0].device_kind,
+               "reps_pipelined": args.reps}
+    for family in args.families:
+        batch = args.batch if family == "pendulum" else args.celeba_batch
+        ckpt = ensure_checkpoint(args.workdir, family, args.img_size)
+        results[family] = bench_family(family, ckpt, batch, args.reps,
+                                       args.img_size)
+
+    out = args.out if os.path.isabs(args.out) else os.path.join(REPO,
+                                                                args.out)
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"-> {out}")
+
+
+if __name__ == "__main__":
+    main()
