@@ -44,6 +44,11 @@ def ensure_checkpoint(workdir, family, img_size):
         argv = [sys.executable, "-m", "cdgvae_tpu.cli.main",
                 "--model", "CDGVAE", "--epochs", "12", "--n_samples",
                 "2048", "--assets_dir", os.path.join(workdir, "pend")]
+    elif family == "tabular":
+        ckpt = os.path.join(workdir, "tab", "tabular_CDGVAE_loan")
+        argv = [sys.executable, "-m", "cdgvae_tpu.cli.tabular_main",
+                "--dataset", "loan", "--epochs", "50",
+                "--assets_dir", os.path.join(workdir, "tab")]
     else:
         ckpt = os.path.join(workdir, "celeba", "celeba_CDGVAE_linear")
         argv = [sys.executable, "-m", "cdgvae_tpu.cli.celeba_main",
@@ -93,6 +98,20 @@ def bench_family(family, ckpt, batch, reps, img_size=128):
                                             value=jnp.float32(0.5)),
             "sample": lambda: m._gen(m.params, eps),
         }
+    elif family == "tabular":
+        from cdgvae_tpu.data.tabular.datasets import load_tabular
+        ds = load_tabular("loan", train=False, data_dir="/nonexistent")
+        data_rows = np.asarray(ds.x_data, np.float32)
+        n_tile = int(np.ceil(batch / len(data_rows)))
+        x = jnp.asarray(np.tile(data_rows, (n_tile, 1))[:batch])
+        eps = jnp.asarray(np.random.default_rng(0).normal(
+            size=(batch, m.model.node)).astype(np.float32))
+        paths = {
+            "reconstruct": lambda: m._fwd(m.params, x),
+            "counterfactual": lambda: m._cf(m.params, x, do_index=0,
+                                            value=jnp.float32(0.5)),
+            "sample": lambda: m._gen(m.params, eps),
+        }
     else:
         from cdgvae_tpu.data.celeba import synthetic_celeba
         x_np, _ = synthetic_celeba(batch, img_size, seed=3)
@@ -116,7 +135,7 @@ def bench_family(family, ckpt, batch, reps, img_size=128):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--families", nargs="+",
-                    default=["pendulum", "celeba"])
+                    default=["pendulum", "celeba", "tabular"])
     ap.add_argument("--batch", type=int, default=1024,
                     help="pendulum serving batch (PERF.md protocol)")
     ap.add_argument("--celeba_batch", type=int, default=128,
@@ -131,20 +150,26 @@ def main():
     args = ap.parse_args()
 
     import jax
-    results = {"date": time.strftime("%Y-%m-%d"),
-               "device": jax.devices()[0].device_kind,
-               "reps_pipelined": args.reps}
+    out_path = args.out if os.path.isabs(args.out) else os.path.join(
+        REPO, args.out)
+    # partial re-runs (--families X) merge into an existing artifact
+    # instead of clobbering the other families' rows
+    results = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f)
+    results.update({"date": time.strftime("%Y-%m-%d"),
+                    "device": jax.devices()[0].device_kind,
+                    "reps_pipelined": args.reps})
     for family in args.families:
-        batch = args.batch if family == "pendulum" else args.celeba_batch
+        batch = args.celeba_batch if family == "celeba" else args.batch
         ckpt = ensure_checkpoint(args.workdir, family, args.img_size)
         results[family] = bench_family(family, ckpt, batch, args.reps,
                                        args.img_size)
 
-    out = args.out if os.path.isabs(args.out) else os.path.join(REPO,
-                                                                args.out)
-    with open(out, "w") as f:
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
-    print(f"-> {out}")
+    print(f"-> {out_path}")
 
 
 if __name__ == "__main__":
