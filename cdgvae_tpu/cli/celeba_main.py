@@ -219,14 +219,11 @@ def main(argv=None):
         from .common import run_scanned_training
         def make_loss_for(align_only):
             def make_loss():
-                lf = make_celeba_loss_fn(model, config["beta"],
-                                         config["lambda"],
-                                         compute_dtype=compute_dtype,
-                                         align_only=align_only)
-                if packer is None:
-                    return lf
-                return lambda pp, x, y, rng: lf(packer.unpack(pp), x, y,
-                                                rng)
+                return make_celeba_loss_fn(model, config["beta"],
+                                           config["lambda"],
+                                           compute_dtype=compute_dtype,
+                                           align_only=align_only,
+                                           packer=packer)
             return make_loss
 
         # alignment-first warmup (--align_warmup N): phase 1 trains the

@@ -13,7 +13,7 @@ from .steps import _jit_step
 
 
 def make_celeba_loss_fn(model, beta: float, lam: float, compute_dtype=None,
-                        align_only: bool = False):
+                        align_only: bool = False, packer=None):
     """The CelebA dual-latent L1 ELBO+alignment loss as a pure
     ``loss_fn(params, x, y, rng) -> (loss, metrics)`` — shared by the
     scanned, sharded-scanned, and jitted step builders.
@@ -35,15 +35,32 @@ def make_celeba_loss_fn(model, beta: float, lam: float, compute_dtype=None,
     protocol (celeba/module/train.py) has no such phase — default off."""
     node, latent_dim = model.node, model.latent_dim
 
+    def _upcast(out):
+        return jax.tree.map(
+            lambda t: t.astype(jnp.float32)
+            if isinstance(t, jax.Array)
+            and jnp.issubdtype(t.dtype, jnp.floating) else t, out)
+
     def loss_fn(params, x, y, rng):
-        if compute_dtype is not None:
+        if packer is not None:
+            # packed layout: cast BEFORE unpacking so the ~1000 small
+            # leaves' mixed-precision casts collapse to one cast per flat
+            # buffer (the per-leaf casts were the residual cost that made
+            # packed bf16 neutral while packed f32 won — docs/PERF.md
+            # round 4)
+            if compute_dtype is not None:
+                params = jax.tree.map(
+                    lambda p: p.astype(compute_dtype)
+                    if jnp.issubdtype(p.dtype, jnp.floating) else p,
+                    params)
+                x = x.astype(compute_dtype)
+            out = model(packer.unpack(params), x, rng)
+            if compute_dtype is not None:
+                out = _upcast(out)
+        elif compute_dtype is not None:
             from .steps import cast_compute
             cast, x_c = cast_compute(params, x, compute_dtype)
-            out = model(cast, x_c, rng)
-            out = jax.tree.map(
-                lambda t: t.astype(jnp.float32)
-                if isinstance(t, jax.Array)
-                and jnp.issubdtype(t.dtype, jnp.floating) else t, out)
+            out = _upcast(model(cast, x_c, rng))
         else:
             out = model(params, x, rng)
         x_rgb = x[..., :3] * 2.0 - 1.0  # (celeba/module/train.py:33)
@@ -87,12 +104,7 @@ def celeba_unjitted_step(model, optimizer: optax.GradientTransformation,
     the packed params (``optimizer.init(packer.pack(params))``)."""
     from ..models.sagan import sn_refresh
     loss_fn = make_celeba_loss_fn(model, beta, lam, compute_dtype,
-                                  align_only=align_only)
-    if packer is not None:
-        base_loss = loss_fn
-
-        def loss_fn(pp, x, y, rng):  # noqa: F811 — packed-layout wrapper
-            return base_loss(packer.unpack(pp), x, y, rng)
+                                  align_only=align_only, packer=packer)
 
     def step(params, opt_state, x, y, rng):
         (loss, metrics), grads = jax.value_and_grad(
