@@ -104,6 +104,7 @@ def test_packed_loss_and_grads_match_unpacked():
                                    err_msg=f"big leaf {i}")
 
 
+@pytest.mark.slow
 def test_packed_training_trajectory_agrees():
     """3 Adam steps packed vs unpacked: metrics stay within the chaotic-
     amplification band (sub-percent; see the companion test's docstring for
@@ -135,6 +136,7 @@ def test_packed_training_trajectory_agrees():
         jax.tree_util.tree_structure(pu)
 
 
+@pytest.mark.slow
 def test_adam_state_map_roundtrip():
     model = _tiny_model()
     params = model.init(jax.random.key(0))
@@ -159,6 +161,7 @@ def test_adam_state_map_roundtrip():
            jnp.asarray(y), jax.random.key(3))
 
 
+@pytest.mark.slow
 def test_packed_bf16_loss_matches_unpacked_bf16():
     """The packed bf16 path casts the FLAT buffers before unpacking
     (per-buffer casts instead of ~1000 per-leaf casts); cast commutes
