@@ -108,6 +108,9 @@ def _make_viz_forward(model):
 
 def main(argv=None):
     config = vars(get_args(argv=argv))
+    if config["free_bits"] and config["model"] == "InfoMax":
+        raise SystemExit("--free_bits targets the supervised VAE/CDGVAE "
+                         "objective; the InfoMax path does not wire it")
     config["spurious"] = False  # family marker for checkpoint loaders (api.py)
     set_random_seed(config["seed"])
     logger = MetricLogger(logdir=config["assets_dir"],
