@@ -43,6 +43,11 @@ def get_args(debug: bool = False, argv=None):
     parser.add_argument("--beta", default=0.1, type=float)
     parser.add_argument("--lambda", default=20, type=float)
     parser.add_argument("--gamma", default=1, type=float)
+    parser.add_argument("--free_bits", default=0.0, type=float,
+                        help="opt-in per-dim KL floor (posterior-collapse "
+                             "mitigation; supervised models only — see "
+                             "cli.main --free_bits). 0 = reference "
+                             "objective")
     parser.add_argument("--online", action="store_true",
                         help="fresh-data-per-step training: every step "
                              "draws a new batch from the DR DGP (spurious "
@@ -63,6 +68,9 @@ def get_args(debug: bool = False, argv=None):
 
 def main(argv=None):
     config = vars(get_args(argv=argv))
+    if config["free_bits"] and config["model"] == "InfoMax":
+        raise SystemExit("--free_bits targets the supervised VAE/CDGVAE "
+                         "objective; the InfoMax path does not wire it")
     config["spurious"] = True  # family marker for checkpoint loaders (api.py)
     set_random_seed(config["seed"])
     logger = MetricLogger(logdir=config["assets_dir"],
@@ -108,7 +116,8 @@ def main(argv=None):
                  optimizer_d.init(d_params))
     else:
         step = make_train_step(model, optimizer, config["beta"],
-                               config["lambda"], mesh=mesh)
+                               config["lambda"], mesh=mesh,
+                               free_bits=config["free_bits"])
         state = (params, optimizer.init(params))
 
     state, start_epoch = apply_resume(config, state)
@@ -167,8 +176,9 @@ def main(argv=None):
         else:
             state = run_online_training(
                 config,
-                loss_fn=make_supervised_loss_fn(model, config["beta"],
-                                                config["lambda"]),
+                loss_fn=make_supervised_loss_fn(
+                    model, config["beta"], config["lambda"],
+                    free_bits=config["free_bits"]),
                 optimizer=optimizer, state=state, k_train=k_train,
                 mesh=mesh, start_epoch=start_epoch, on_epoch=on_epoch,
                 sample_batch_builder=_sample_builder,
@@ -180,14 +190,16 @@ def main(argv=None):
         from ..train.scanned import make_supervised_loss_fn
         from .common import run_scanned_training
         raw = make_train_step(model, optimizer, config["beta"],
-                              config["lambda"], jit=False)
+                              config["lambda"], jit=False,
+                              free_bits=config["free_bits"])
         data = [x_data, y_data]
         x_data = y_data = None  # driver owns the training copy
         state = run_scanned_training(
             config, raw_step=raw, state=state, data=data, k_train=k_train,
             mesh=mesh,
             make_loss=lambda: make_supervised_loss_fn(
-                model, config["beta"], config["lambda"]),
+                model, config["beta"], config["lambda"],
+                free_bits=config["free_bits"]),
             optimizer=optimizer, start_epoch=start_epoch,
             on_epoch=on_epoch, post_epoch=post_epoch,
             post_epoch_pred=viz_due)
