@@ -68,3 +68,34 @@ def test_toy_dr_disentangled_is_robust():
     # disentangled: stable across the shift
     assert abs(dis_train - dis_test) < 0.05
     assert dis_test > 0.74
+
+
+def test_robustness_return_detail_consistency():
+    """return_detail exposes per-repeat accuracies whose means equal the
+    reported aggregates (the round-4 λ=20 dip-diagnosis plumbing)."""
+    import jax
+    import numpy as np
+    from cdgvae_tpu.factory import build_pendulum_model
+    from cdgvae_tpu.eval.downstream import robustness
+
+    config = dict(model="CDGVAE", node=5, scm="linear", flow_num=1,
+                  inverse_loop=10, factor=[1, 1, 2], image_size=32,
+                  adjacency_scaling=True)
+    model, _ = build_pendulum_model(config, spurious=True)
+    params = model.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (40, 32, 32, 3)).astype(np.float32)
+    y = np.concatenate([rng.uniform(0, 1, (40, 4)),
+                        rng.integers(0, 2, (40, 2))],
+                       axis=1).astype(np.float32)
+    res = robustness(model, params, x, y, x, y, repeats=3, epochs=5,
+                     return_detail=True)
+    assert len(res["per_repeat_avg"]) == 3
+    assert len(res["per_repeat_worst"]) == 3
+    np.testing.assert_allclose(np.mean(res["per_repeat_avg"]),
+                               res["avg_accuracy"], atol=1e-3)
+    np.testing.assert_allclose(np.mean(res["per_repeat_worst"]),
+                               res["worst_group_accuracy"], atol=1e-3)
+    # detail off: aggregate-only contract unchanged
+    res2 = robustness(model, params, x, y, x, y, repeats=2, epochs=5)
+    assert set(res2) == {"avg_accuracy", "worst_group_accuracy"}
