@@ -54,7 +54,12 @@ def bench_celeba():
     graph = CausalGraph(celeba_B(SMILE_NODES, 0), scm="linear")
     model = CelebACDGVAE(graph, latent_dim=6, image_size=128,
                          freeze_trunk=True)
-    params = model.init(jax.random.key(0))
+    # packed small-leaf params layout — the cli.celeba_main production
+    # default (ops/packing.py; A/B'd +1-2% both dtypes after the
+    # per-buffer cast change, docs/PERF.md round 4)
+    from cdgvae_tpu.ops.packing import Packer
+    packer = Packer(model.init(jax.random.key(0)))
+    params = packer.pack(model.init(jax.random.key(0)))
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
 
@@ -63,7 +68,7 @@ def bench_celeba():
     x, y = jnp.asarray(x_np), jnp.asarray(y_np)
 
     step = celeba_unjitted_step(model, opt, beta=0.1, lam=5.0,
-                                compute_dtype=jnp.bfloat16)
+                                compute_dtype=jnp.bfloat16, packer=packer)
     run = make_scanned_epochs(step, batch_size=batch,
                               n_epochs_per_call=epochs_per_call)
 
