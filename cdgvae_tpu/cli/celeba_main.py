@@ -103,6 +103,15 @@ def get_args(debug: bool = False, argv=None):
                              "transport's tolerance (observed: a ~250 s "
                              "dispatch at 5k imgs killed the worker; 1-2 "
                              "epoch chunks of ~25-50 s are safe)")
+    parser.add_argument("--ckpt_every", default=10, type=int,
+                        help="epochs between mid-run checkpoint+viz saves "
+                             "(default 10, the reference's tmp_image "
+                             "cadence, celeba/main.py:214-216). Each save "
+                             "pulls the ~590 MB params+Adam tree through "
+                             "the device tunnel (~25 s) — raise this on "
+                             "multi-hundred-epoch runs where 40 saves "
+                             "would dominate wall time (docs/PERF.md "
+                             "round 4)")
     add_resume_arg(parser)
     add_infra_args(parser)
     if debug:
@@ -262,9 +271,10 @@ def main(argv=None):
                 optimizer=optimizer, chunk=config["chunk"],
                 start_epoch=e0,
                 on_epoch=on_epoch, post_epoch=post_epoch,
-                # keep the reference's every-10-epoch viz/checkpoint
-                # cadence regardless of the dispatch chunking
-                post_epoch_pred=lambda e: (e + 1) % 10 == 0)
+                # viz/checkpoint cadence independent of the dispatch
+                # chunking (default 10 = the reference's tmp_image cadence)
+                post_epoch_pred=lambda e:
+                (e + 1) % config["ckpt_every"] == 0)
     else:
         step = make_celeba_step(model, optimizer, config["beta"],
                                 config["lambda"], mesh=mesh,
@@ -280,7 +290,7 @@ def main(argv=None):
                 active_step, state, x_data, y_data, config["batch_size"],
                 k_train, epoch, shuffle_rng, drop_remainder=True)
             on_epoch(epoch, metrics)
-            if epoch % 10 == 0:
+            if epoch % config["ckpt_every"] == 0:
                 post_epoch(state, epoch)
 
     state = canonical(state)

@@ -22,7 +22,14 @@ import numpy as np
 
 
 def _to_host(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    # jax.device_get, NOT a per-leaf np.asarray tree_map: device_get
+    # stages copy_to_host_async for EVERY leaf before gathering, so the
+    # transfer is one pipelined burst. Per-leaf np.asarray serializes one
+    # device->host round trip per leaf — measured 40-60 s per save for
+    # the ~3k-leaf CelebA params+Adam tree through the axon tunnel
+    # (~25-65 ms RTT each), which dominated long-run wall time at the
+    # every-10-epoch checkpoint cadence (docs/PERF.md round 4).
+    return jax.device_get(tree)
 
 
 def save_checkpoint(path: str, params, opt_state=None, step: int = 0,

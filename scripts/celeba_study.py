@@ -84,7 +84,8 @@ def run_seed(args, corpus: str, seed: int):
             "--img_size", str(args.img_size),
             "--seed", str(seed), "--lambda", str(args.lam),
             "--conv_dim", str(args.conv_dim),
-            "--chunk", str(args.chunk)]
+            "--chunk", str(args.chunk),
+            "--ckpt_every", str(args.ckpt_every)]
     if args.platform:
         argv += ["--platform", args.platform]
     if args.bf16:
@@ -144,6 +145,11 @@ def main():
                     help="suffix for the output json/png filenames")
     ap.add_argument("--eval_only", action="store_true",
                     help="reuse the workdir checkpoints, skip training")
+    ap.add_argument("--ckpt_every", type=int, default=10,
+                    help="mid-run checkpoint cadence (epochs). Each save "
+                         "pulls ~590 MB through the tunnel (~25 s); raise "
+                         "on multi-hundred-epoch arms where the default "
+                         "cadence would dominate wall time")
     ap.add_argument("--chunk", type=int, default=2,
                     help="epochs per device dispatch (keep dispatches "
                          "under ~1 min; see celeba_main --chunk)")
