@@ -104,7 +104,9 @@ def get_args(debug: bool = False, argv=None):
                              "dispatch at 5k imgs killed the worker; 1-2 "
                              "epoch chunks of ~25-50 s are safe)")
     parser.add_argument("--ckpt_every", default=10, type=int,
-                        help="epochs between mid-run checkpoint+viz saves "
+                        help="epochs between mid-run checkpoint+viz saves; "
+                             "<=0 disables mid-run saves (the final save "
+                             "always runs). "
                              "(default 10, the reference's tmp_image "
                              "cadence, celeba/main.py:214-216). Each save "
                              "pulls the ~590 MB params+Adam tree through "
@@ -272,9 +274,11 @@ def main(argv=None):
                 start_epoch=e0,
                 on_epoch=on_epoch, post_epoch=post_epoch,
                 # viz/checkpoint cadence independent of the dispatch
-                # chunking (default 10 = the reference's tmp_image cadence)
+                # chunking (default 10 = the reference's tmp_image cadence;
+                # <=0 disables mid-run saves — the final save still runs)
                 post_epoch_pred=lambda e:
-                (e + 1) % config["ckpt_every"] == 0)
+                config["ckpt_every"] > 0
+                and (e + 1) % config["ckpt_every"] == 0)
     else:
         step = make_celeba_step(model, optimizer, config["beta"],
                                 config["lambda"], mesh=mesh,
@@ -290,7 +294,7 @@ def main(argv=None):
                 active_step, state, x_data, y_data, config["batch_size"],
                 k_train, epoch, shuffle_rng, drop_remainder=True)
             on_epoch(epoch, metrics)
-            if epoch % config["ckpt_every"] == 0:
+            if config["ckpt_every"] > 0 and epoch % config["ckpt_every"] == 0:
                 post_epoch(state, epoch)
 
     state = canonical(state)

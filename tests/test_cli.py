@@ -180,6 +180,22 @@ def test_celeba_chunk_cadence(workdir):
     assert load_checkpoint(ckpt)["step"] == 14
 
 
+def test_celeba_ckpt_every_disable(workdir):
+    """--ckpt_every 0 disables mid-run viz/checkpoint saves entirely (no
+    modulo-by-zero), while the final checkpoint still lands — the setting
+    long study arms use to keep multi-hundred-epoch runs off the ~25 s/save
+    device->host pull (docs/PERF.md round 4)."""
+    from cdgvae_tpu.cli import celeba_main
+    from cdgvae_tpu.utils.checkpoint import load_checkpoint
+    out = os.path.join(workdir, "celeba_ck0")
+    celeba_main.main(["--img_size", "32", "--conv_dim", "4", "--batch_size",
+                      "4", "--data_dir", "/nonexistent", "--assets_dir", out,
+                      "--epochs", "12", "--chunk", "3", "--ckpt_every", "0"])
+    assert [f for f in os.listdir(out) if f.startswith("tmp_image")] == []
+    ckpt = os.path.join(out, "celeba_CDGVAE_linear")
+    assert load_checkpoint(ckpt)["step"] == 12
+
+
 def test_celeba_torch_weights(workdir):
     """--torch_weights imports a torchvision-layout trunk before training;
     with the default frozen trunk the imported weights (incl. BN running
