@@ -108,7 +108,7 @@ def get_args(debug: bool = False, argv=None):
                              "<=0 disables mid-run saves (the final save "
                              "always runs). "
                              "(default 10, the reference's tmp_image "
-                             "cadence, celeba/main.py:214-216). Each save "
+                             "cadence, celeba/main.py:134-140). Each save "
                              "pulls the ~590 MB params+Adam tree through "
                              "the device tunnel (~25 s) — raise this on "
                              "multi-hundred-epoch runs where 40 saves "
@@ -294,7 +294,10 @@ def main(argv=None):
                 active_step, state, x_data, y_data, config["batch_size"],
                 k_train, epoch, shuffle_rng, drop_remainder=True)
             on_epoch(epoch, metrics)
-            if config["ckpt_every"] > 0 and epoch % config["ckpt_every"] == 0:
+            # same (e+1) % N cadence as the scanned path: one flag value,
+            # one set of save epochs (and no wasted epoch-0 pull)
+            if (config["ckpt_every"] > 0
+                    and (epoch + 1) % config["ckpt_every"] == 0):
                 post_epoch(state, epoch)
 
     state = canonical(state)
