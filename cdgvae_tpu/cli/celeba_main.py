@@ -19,7 +19,7 @@ from ..ops.causal import CausalGraph
 from ..train.celeba_steps import make_celeba_step, celeba_unjitted_step
 from ..train.loop import train_epoch, format_epoch
 from ..utils.simulation import set_random_seed
-from ..utils.checkpoint import save_checkpoint
+from ..utils.checkpoint import save_checkpoint, AsyncCheckpointer
 from ..utils.logging import MetricLogger
 from ..utils.viz import viz_recon_grid
 from .common import (arg_as_bool,
@@ -114,6 +114,15 @@ def get_args(debug: bool = False, argv=None):
                              "multi-hundred-epoch runs where 40 saves "
                              "would dominate wall time (docs/PERF.md "
                              "round 4)")
+    parser.add_argument("--async_ckpt", default=True, type=arg_as_bool,
+                        help="overlap mid-run checkpoint saves with "
+                             "training: snapshot the state on device (one "
+                             "jitted copy, ~ms) and pull+pickle in a "
+                             "background thread (utils/checkpoint.py::"
+                             "AsyncCheckpointer). Same on-disk layout as "
+                             "sync saves; at most one save in flight "
+                             "(a second blocks until the first lands). "
+                             "The final save is always synchronous")
     add_resume_arg(parser)
     add_infra_args(parser)
     if debug:
@@ -202,6 +211,7 @@ def main(argv=None):
 
     ckpt = os.path.join(config["assets_dir"],
                         f"celeba_{config['model']}_{config['scm']}")
+    saver = AsyncCheckpointer() if config["async_ckpt"] else None
 
     def post_epoch(state, epoch):
         xhat = viz_fwd(state[0], x_viz,
@@ -210,10 +220,17 @@ def main(argv=None):
                        f"{config['assets_dir']}/tmp_image_{epoch}.png",
                        n=n_viz)
         # mid-run checkpoint: long 128px runs are crash-resumable via
-        # --resume (the reference never saves the celeba model at all)
+        # --resume (the reference never saves the celeba model at all).
+        # Async (default): a device-side snapshot frees the train loop
+        # immediately; the ~25 s device->host pull of the 590 MB tree
+        # rides a background thread and overlaps the next chunk's epochs
         c_params, c_opt = canonical(state)
-        save_checkpoint(ckpt, c_params, opt_state=c_opt,
-                        step=epoch + 1, config=config)
+        if saver is not None:
+            saver.save(ckpt, c_params, opt_state=c_opt,
+                       step=epoch + 1, config=config)
+        else:
+            save_checkpoint(ckpt, c_params, opt_state=c_opt,
+                            step=epoch + 1, config=config)
 
     if not config["eager"]:
         # dataset is device-resident -> scan-compile whole epoch chunks
@@ -300,6 +317,8 @@ def main(argv=None):
                     and (epoch + 1) % config["ckpt_every"] == 0):
                 post_epoch(state, epoch)
 
+    if saver is not None:
+        saver.wait()  # drain the in-flight mid-run save (and its errors)
     state = canonical(state)
     save_checkpoint(ckpt, state[0], opt_state=state[1],
                     step=config["epochs"], config=config)
