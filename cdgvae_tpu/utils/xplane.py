@@ -60,6 +60,98 @@ def device_op_totals(xspace, plane_filter: str = "TPU",
     return totals
 
 
+def plane_events(xspace, plane_filter: str = "TPU",
+                 line_filter: str = "XLA Ops"):
+    """Flat event list ``(name, line_name, start_ps, end_ps)`` over the
+    device planes/lines matching the filters (same semantics as
+    :func:`device_op_totals`). Offsets are line-local in the xplane format;
+    lines of one plane share the plane's time base, so intervals from
+    different nesting lines are comparable."""
+    out = []
+    needle = plane_filter.lower()
+    line_needle = line_filter.lower()
+    for plane in xspace.planes:
+        if needle not in plane.name.lower():
+            continue
+        for line in plane.lines:
+            if line_needle and line_needle not in line.name.lower():
+                continue
+            base = line.timestamp_ns * 1000
+            for ev in line.events:
+                name = plane.event_metadata[ev.metadata_id].name
+                start = base + ev.offset_ps
+                out.append((name, line.name, start,
+                            start + ev.duration_ps))
+    return out
+
+
+def busy_breakdown(xspace, plane_filter: str = "TPU",
+                   line_filter: str = "XLA Ops") -> dict:
+    """Nesting-safe busy/idle decomposition of a device plane.
+
+    The flat per-op totals double-count because trace lines nest
+    (module > while-loop > fusion). This computes:
+
+    * ``span_ms``   — first event start to last event end,
+    * ``busy_ms``   — UNION of all event intervals (double-count-free:
+      a nested fusion inside a while inside a module adds nothing),
+    * ``idle_ms``   — span − busy: device time covered by NO op event —
+      the per-op scheduling/sync gaps the round-4 MFU-residual theory
+      attributes the CelebA plateau to (docs/PERF.md),
+    * ``n_events``  — all events,
+    * ``n_leaf_events`` — events containing no other event: the count of
+      SEQUENTIAL device ops actually executed (the "~10³ ops/step").
+    """
+    evs = sorted(plane_events(xspace, plane_filter, line_filter),
+                 key=lambda e: (e[2], -e[3]))
+    if not evs:
+        return {"span_ms": 0.0, "busy_ms": 0.0, "idle_ms": 0.0,
+                "n_events": 0, "n_leaf_events": 0}
+    span = (max(e[3] for e in evs) - evs[0][2]) / 1e9
+    busy = 0
+    cur_s, cur_e = evs[0][2], evs[0][3]
+    # leaf detection via a nesting sweep: pushing an event inside an open
+    # interval marks the enclosing event as a parent
+    stack: list[int] = []  # indices into evs of open intervals
+    is_parent = [False] * len(evs)
+    for i, (_, _, s, e) in enumerate(evs):
+        if s > cur_e:  # union accumulation
+            busy += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+        while stack and evs[stack[-1]][3] <= s:
+            stack.pop()
+        if stack:
+            is_parent[stack[-1]] = True
+        stack.append(i)
+    busy += cur_e - cur_s
+    n_leaf = sum(1 for i, p in enumerate(is_parent) if not p)
+    return {"span_ms": span,
+            "busy_ms": busy / 1e9, "idle_ms": span - busy / 1e9,
+            "n_events": len(evs), "n_leaf_events": n_leaf}
+
+
+def module_spans(xspace, plane_filter: str = "TPU") -> list[tuple[str, float]]:
+    """Per-execution device spans (name, ms) of the compiled XLA programs
+    — one entry per launched module execution. These are the
+    device-side per-call latencies a serving client observes once the
+    dispatch reaches the chip (host/tunnel RTT excluded). Reads the
+    ``XLA Modules`` trace line; falls back to the outermost events of the
+    ``XLA Ops`` line when the backend emits no module line."""
+    evs = plane_events(xspace, plane_filter, line_filter="Module")
+    if not evs:
+        all_ops = sorted(plane_events(xspace, plane_filter, "XLA Ops"),
+                         key=lambda e: (e[2], -e[3]))
+        out, open_end = [], -1
+        for name, _, s, e in all_ops:  # outermost = not inside the
+            if s >= open_end:          # previous outermost event
+                out.append((name, (e - s) / 1e9))
+                open_end = e
+        return out
+    return [(name, (e - s) / 1e9) for name, _, s, e in evs]
+
+
 def rank_ops(trace_dir: str, top: int = 25, plane_filter: str = "TPU",
              line_filter: str = "XLA Ops") -> list[tuple[str, float]]:
     """Top device ops of a trace as (name, total ms), descending."""
