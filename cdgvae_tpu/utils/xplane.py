@@ -100,13 +100,20 @@ def busy_breakdown(xspace, plane_filter: str = "TPU",
       attributes the CelebA plateau to (docs/PERF.md),
     * ``n_events``  — all events,
     * ``n_leaf_events`` — events containing no other event: the count of
-      SEQUENTIAL device ops actually executed (the "~10³ ops/step").
+      SEQUENTIAL device ops actually executed (the "~10³ ops/step"),
+    * ``leaf_busy_ms`` / ``leaf_idle_ms`` — union/gap time over LEAF
+      events only. On a real TPU trace a container event (the scan
+      while-loop, the module) spans the whole execution, so the all-event
+      union degenerates to the span; the leaf-level union is the actual
+      op execution time, and ``leaf_idle_ms`` the inter-op gap total —
+      the direct measurement of per-op scheduling overhead.
     """
     evs = sorted(plane_events(xspace, plane_filter, line_filter),
                  key=lambda e: (e[2], -e[3]))
     if not evs:
         return {"span_ms": 0.0, "busy_ms": 0.0, "idle_ms": 0.0,
-                "n_events": 0, "n_leaf_events": 0}
+                "n_events": 0, "n_leaf_events": 0,
+                "leaf_busy_ms": 0.0, "leaf_idle_ms": 0.0}
     span = (max(e[3] for e in evs) - evs[0][2]) / 1e9
     busy = 0
     cur_s, cur_e = evs[0][2], evs[0][3]
@@ -126,10 +133,22 @@ def busy_breakdown(xspace, plane_filter: str = "TPU",
             is_parent[stack[-1]] = True
         stack.append(i)
     busy += cur_e - cur_s
-    n_leaf = sum(1 for i, p in enumerate(is_parent) if not p)
+    leaves = [evs[i] for i, p in enumerate(is_parent) if not p]
+    leaf_busy = 0
+    if leaves:  # already start-sorted (subsequence of evs)
+        ls, le = leaves[0][2], leaves[0][3]
+        for _, _, s, e in leaves[1:]:
+            if s > le:
+                leaf_busy += le - ls
+                ls, le = s, e
+            else:
+                le = max(le, e)
+        leaf_busy += le - ls
     return {"span_ms": span,
             "busy_ms": busy / 1e9, "idle_ms": span - busy / 1e9,
-            "n_events": len(evs), "n_leaf_events": n_leaf}
+            "n_events": len(evs), "n_leaf_events": len(leaves),
+            "leaf_busy_ms": leaf_busy / 1e9,
+            "leaf_idle_ms": span - leaf_busy / 1e9}
 
 
 def module_spans(xspace, plane_filter: str = "TPU") -> list[tuple[str, float]]:

@@ -161,7 +161,35 @@ def main():
         p, s, m = run(p, s, x, y, jax.random.key(1), args.epochs_per_call)
         jax.block_until_ready(m["loss"])
 
-    from cdgvae_tpu.utils.xplane import rank_ops
+    # direct idle/op-count decomposition (round-5: replaces the round-4
+    # elimination argument about the MFU residual with a measurement):
+    # leaf events = the sequential device ops; leaf_idle = the total
+    # inter-op gap time the "per-op scheduling overhead" theory predicts
+    # should account for the non-compute fraction of the step.
+    from cdgvae_tpu.utils.xplane import (busy_breakdown, load_xspace,
+                                         module_spans, rank_ops)
+    xsp = load_xspace(args.profile_dir)
+    bb = busy_breakdown(xsp)
+    mods = module_spans(xsp)
+    run_spans = sorted((ms for _, ms in mods), reverse=True)
+    # the traced call is ONE scanned-chunk execution; smaller modules in
+    # the trace (threefry folds etc.) are not the train program
+    chunk_ms = run_spans[0] if run_spans else float("nan")
+    n_steps = steps_per_call
+    gap_us = (bb["leaf_idle_ms"] / max(bb["n_leaf_events"], 1)) * 1e3
+    results["sched_decomposition_bf16"] = {
+        "traced_steps": n_steps,
+        "chunk_device_span_ms": round(chunk_ms, 3),
+        "leaf_ops_per_step": round(bb["n_leaf_events"] / n_steps, 1),
+        "leaf_busy_ms_per_step": round(bb["leaf_busy_ms"] / n_steps, 4),
+        "leaf_idle_ms_per_step": round(bb["leaf_idle_ms"] / n_steps, 4),
+        "idle_frac_of_span": round(
+            bb["leaf_idle_ms"] / max(bb["span_ms"], 1e-9), 4),
+        "mean_gap_us_per_op": round(gap_us, 3),
+    }
+    print(f"\nsched decomposition (bf16): "
+          f"{results['sched_decomposition_bf16']}")
+
     ranking = rank_ops(args.profile_dir, top=15)
     # op names carry the full HLO tuple signature (the scan while-loop's is
     # ~90KB) — keep only the op id, which is what a human ranks by

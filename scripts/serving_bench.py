@@ -84,21 +84,7 @@ def bench_family(family, ckpt, batch, reps, img_size=128):
 
     m = LoadedModel.load(ckpt)
     rows = {}
-    if family == "pendulum":
-        from cdgvae_tpu.data.pendulum import sample_factors_real
-        from cdgvae_tpu.ops.renderer import render
-        factors, _ = sample_factors_real(seed=3, n=batch)
-        x = render(jnp.asarray(factors[:, :4], jnp.float32),
-                   size=m.config["image_size"])
-        eps = jnp.asarray(np.random.default_rng(0).normal(
-            size=(batch, m.model.node)).astype(np.float32))
-        paths = {
-            "reconstruct": lambda: m._fwd(m.params, x),
-            "counterfactual": lambda: m._cf(m.params, x, do_index=0,
-                                            value=jnp.float32(0.5)),
-            "sample": lambda: m._gen(m.params, eps),
-        }
-    elif family == "tabular":
+    if family == "tabular":
         from cdgvae_tpu.data.tabular.datasets import load_tabular
         ds = load_tabular("loan", train=False, data_dir="/nonexistent")
         data_rows = np.asarray(ds.x_data, np.float32)
@@ -113,14 +99,7 @@ def bench_family(family, ckpt, batch, reps, img_size=128):
             "sample": lambda: m._gen(m.params, eps),
         }
     else:
-        from cdgvae_tpu.data.celeba import synthetic_celeba
-        x_np, _ = synthetic_celeba(batch, img_size, seed=3)
-        x = jnp.asarray(x_np)
-        paths = {
-            "reconstruct": lambda: m._fwd(m.params, x),
-            "counterfactual": lambda: m._cf(m.params, x, do_index=0,
-                                            value=jnp.float32(0.5)),
-        }
+        paths = _family_paths(family, m, batch, img_size)
     for name, fn in paths.items():
         pipelined, blocking = timed(fn, reps)
         rows[name] = {
@@ -129,6 +108,85 @@ def bench_family(family, ckpt, batch, reps, img_size=128):
             "blocking_imgs_per_sec": round(batch / blocking, 1),
         }
         print(f"{family}/{name}: {rows[name]}", flush=True)
+    return rows
+
+
+def _family_paths(family, m, batch, img_size):
+    """(name -> zero-arg dispatch) for one family at one batch size."""
+    import jax.numpy as jnp
+
+    if family == "pendulum":
+        from cdgvae_tpu.data.pendulum import sample_factors_real
+        from cdgvae_tpu.ops.renderer import render
+        factors, _ = sample_factors_real(seed=3, n=batch)
+        x = render(jnp.asarray(factors[:, :4], jnp.float32),
+                   size=m.config["image_size"])
+        eps = jnp.asarray(np.random.default_rng(0).normal(
+            size=(batch, m.model.node)).astype(np.float32))
+        return {
+            "reconstruct": lambda: m._fwd(m.params, x),
+            "counterfactual": lambda: m._cf(m.params, x, do_index=0,
+                                            value=jnp.float32(0.5)),
+            "sample": lambda: m._gen(m.params, eps),
+        }
+    from cdgvae_tpu.data.celeba import synthetic_celeba
+    x_np, _ = synthetic_celeba(batch, img_size, seed=3)
+    x = jnp.asarray(x_np)
+    return {
+        "reconstruct": lambda: m._fwd(m.params, x),
+        "counterfactual": lambda: m._cf(m.params, x, do_index=0,
+                                        value=jnp.float32(0.5)),
+    }
+
+
+def bench_latency(family, ckpt, batches, reps, img_size=128):
+    """DEVICE-SIDE per-call latency (ms) per path/batch from the xplane
+    trace (round-5 ask: host-side timing of ms-scale calls through the
+    dev tunnel is RTT-corrupted — ~25-65 ms per round trip, docs/PERF.md
+    measurement rules — so the latency a co-located serving deployment
+    would see must be read from the device's own timeline).
+
+    Protocol: per (path, batch), `reps` pipelined dispatches inside one
+    jax.profiler trace; the path's compiled module is identified in the
+    trace as the module name executed >= reps times with the largest
+    total device time (input staging/threefry helpers execute once or
+    are tiny), and its per-execution spans give mean/p50.
+    """
+    import tempfile
+
+    import jax
+    from cdgvae_tpu.api import LoadedModel
+    from cdgvae_tpu.utils.profiling import trace
+    from cdgvae_tpu.utils.xplane import load_xspace, module_spans
+
+    m = LoadedModel.load(ckpt)
+    rows = {}
+    for batch in batches:
+        paths = _family_paths(family, m, batch, img_size)
+        for name, fn in paths.items():
+            jax.block_until_ready(fn())  # warm/compile outside the trace
+            tdir = tempfile.mkdtemp(prefix=f"lat_{family}_{name}_{batch}_")
+            with trace(tdir):
+                outs = [fn() for _ in range(reps)]
+                jax.block_until_ready(outs)
+            spans = module_spans(load_xspace(tdir))
+            per_mod: dict[str, list[float]] = {}
+            for mod, ms in spans:
+                per_mod.setdefault(mod, []).append(ms)
+            cands = {k: v for k, v in per_mod.items()
+                     if len(v) >= max(2, int(0.8 * reps))}
+            if not cands:
+                raise RuntimeError(
+                    f"{family}/{name}@{batch}: no module executed ~{reps}"
+                    f" times in the trace (got {[(k, len(v)) for k, v in"
+                    f" per_mod.items()]})")
+            mod = max(cands, key=lambda k: sum(cands[k]))
+            v = sorted(cands[mod])
+            row = {"batch": batch, "n_calls": len(v),
+                   "device_mean_ms": round(float(np.mean(v)), 4),
+                   "device_p50_ms": round(float(v[len(v) // 2]), 4)}
+            rows.setdefault(name, []).append(row)
+            print(f"{family}/{name}@{batch}: {row}", flush=True)
     return rows
 
 
@@ -143,6 +201,12 @@ def main():
                          "are 0.5 MB each — big batches are HBM-bound)")
     ap.add_argument("--reps", type=int, default=30)
     ap.add_argument("--img_size", type=int, default=128)
+    ap.add_argument("--latency", action="store_true",
+                    help="measure DEVICE-SIDE per-call latency (xplane-"
+                         "derived) at --latency_batches for the image "
+                         "families instead of throughput")
+    ap.add_argument("--latency_batches", type=int, nargs="+",
+                    default=[1, 16])
     ap.add_argument("--workdir", default="/tmp/serving_bench")
     ap.add_argument("--out", default="docs/results/serving_r04.json")
     from cdgvae_tpu.cli.common import _platform_arg
@@ -162,10 +226,18 @@ def main():
                     "device": jax.devices()[0].device_kind,
                     "reps_pipelined": args.reps})
     for family in args.families:
-        batch = args.celeba_batch if family == "celeba" else args.batch
         ckpt = ensure_checkpoint(args.workdir, family, args.img_size)
-        results[family] = bench_family(family, ckpt, batch, args.reps,
-                                       args.img_size)
+        if args.latency:
+            if family == "tabular":
+                continue  # image families only (the ask's scope)
+            results.setdefault(family, {})["device_latency"] = \
+                bench_latency(family, ckpt, args.latency_batches,
+                              args.reps, args.img_size)
+        else:
+            batch = args.celeba_batch if family == "celeba" else args.batch
+            results.setdefault(family, {}).update(
+                bench_family(family, ckpt, batch, args.reps,
+                             args.img_size))
 
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)

@@ -110,3 +110,15 @@ def test_module_spans_prefers_module_line_with_ops_fallback():
     # drop the module line -> fallback to outermost XLA Ops events
     del xs.planes[0].lines[0].events[:]
     assert module_spans(xs) == [("while", pytest.approx(8.0))]
+
+
+def test_busy_breakdown_leaf_union_excludes_containers():
+    from cdgvae_tpu.utils.xplane import busy_breakdown
+    xs = _nested_plane_space()
+    # while [1,9] is a container; leaf fusions cover [1,4]+[5,8] = 6ms,
+    # so the leaf-level gap is 2ms even though the all-event union is
+    # gapless — exactly the container-degeneracy the leaf view fixes
+    b = busy_breakdown(xs, line_filter="XLA Ops")
+    assert b["leaf_busy_ms"] == pytest.approx(6.0)
+    assert b["leaf_idle_ms"] == pytest.approx(2.0)
+    assert b["idle_ms"] == pytest.approx(0.0)
