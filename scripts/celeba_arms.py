@@ -69,6 +69,7 @@ def _arm_argv(arm: dict, corpus: str, assets: str, img_size: int,
         argv.append("--train_trunk")
     if a["torch_weights"]:
         argv += ["--torch_weights", a["torch_weights"]]
+    argv += a.get("extra_args", [])  # free-form celeba_main flags
     if resume:
         argv += ["--resume", resume]
     return argv
@@ -125,6 +126,9 @@ def main():
     ap.add_argument("--summary_tag", default="",
                     help="suffix for docs/results/celeba_arms<tag>.json")
     ap.add_argument("--eval_only", action="store_true")
+    ap.add_argument("--no_eval", action="store_true",
+                    help="train + timing summary only (e.g. wall-clock "
+                         "A/B arms where quality eval is irrelevant)")
     ap.add_argument("--max_retries", type=int, default=8)
     ap.add_argument("--retry_wait", type=float, default=180.0)
     ap.add_argument("--worker", action="store_true",
@@ -200,6 +204,8 @@ def main():
                 mk = json.load(f)
             wall = mk.get("wall_s")
             timing.append(mk)
+        if args.no_eval:
+            continue
         ns = argparse.Namespace(
             n_train=args.n_train, n_test=args.n_test,
             img_size=args.img_size, epochs=a["epochs"],
