@@ -86,12 +86,15 @@ def get_args(debug: bool = False, argv=None):
                              "~1000 small leaves (biases, BN scales, SN "
                              "u/v, noise weights) of the SAGAN+ResNet "
                              "tree ride as one flat buffer per dtype, and "
-                             "the Adam moments follow — cutting the "
-                             "per-step HBM DMA descriptor count ~100x "
-                             "(ops/packing.py; A/B'd on-chip, docs/PERF.md "
-                             "round 4). Same math; checkpoints are always "
-                             "saved in the canonical unpacked layout, so "
-                             "runs with either setting resume each other")
+                             "the Adam moments follow (ops/packing.py). "
+                             "On-chip A/B: +1-2% in both dtypes via the "
+                             "per-buffer mixed-precision pre-cast the "
+                             "layout enables — the original "
+                             "DMA-descriptor theory was falsified by the "
+                             "trace (docs/PERF.md round 4). Same math; "
+                             "checkpoints are always saved in the "
+                             "canonical unpacked layout, so runs with "
+                             "either setting resume each other")
     parser.add_argument("--bf16", action="store_true",
                         help="run the network in bfloat16 (params/losses "
                              "stay f32) — pays on this conv/MXU-bound "

@@ -26,14 +26,13 @@ import numpy as np
 
 
 def _to_host(tree):
-    # jax.device_get, NOT a per-leaf np.asarray tree_map: device_get
-    # stages copy_to_host_async for EVERY leaf before gathering, so the
-    # transfer is one pipelined burst. Per-leaf np.asarray serializes one
-    # device->host round trip per leaf — measured 40-60 s per save for
-    # the ~3k-leaf CelebA params+Adam tree through the axon tunnel
-    # (~25-65 ms RTT each), which dominated long-run wall time at the
-    # every-10-epoch checkpoint cadence (docs/PERF.md round 4).
-    return jax.device_get(tree)
+    # Chunked device_get (NOT per-leaf np.asarray, NOT one monolithic
+    # device_get): per-leaf serializes ~3k tunnel round trips (40-60 s,
+    # the round-4 finding); one whole-tree device_get pipelines but was
+    # measured pathological on the tunnel transport for the 591 MB
+    # CelebA tree (156 s vs 28 s chunked, round-5 probe, docs/PERF.md).
+    # ~8 MB batches keep each transaction sub-second and pipelined.
+    return _to_host_chunked(tree)
 
 
 def save_checkpoint(path: str, params, opt_state=None, step: int = 0,
@@ -75,6 +74,31 @@ def save_checkpoint(path: str, params, opt_state=None, step: int = 0,
 _snapshot = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
 
 
+def _to_host_chunked(tree, byte_budget: int = 8 << 20):
+    """device_get in ~byte_budget-sized leaf batches.
+
+    One monolithic ``jax.device_get`` of the 590 MB CelebA tree occupies
+    the device tunnel for ~20 s, and the tunnel serializes requests — so
+    a background pull HEAD-OF-LINE-BLOCKS the train loop's next dispatch
+    and "async" saves barely overlap (measured: async ≈ sync − pickle
+    only, docs/PERF.md round 5). Pulling in small batches keeps each
+    tunnel transaction ~sub-second, letting dispatch messages interleave;
+    total transfer time is unchanged (bandwidth-bound) but it now rides
+    UNDER compute instead of in front of it.
+    """
+    leaves, treedef = jax.tree.flatten(tree)
+    out, batch, size = [], [], 0
+    for leaf in leaves:
+        batch.append(leaf)
+        size += getattr(leaf, "nbytes", 0)
+        if size >= byte_budget:
+            out.extend(jax.device_get(batch))
+            batch, size = [], 0
+    if batch:
+        out.extend(jax.device_get(batch))
+    return jax.tree.unflatten(treedef, out)
+
+
 class AsyncCheckpointer:
     """Overlap checkpoint saves with continued training.
 
@@ -106,8 +130,11 @@ class AsyncCheckpointer:
 
         def _work():
             try:
-                save_checkpoint(path, snap_p, opt_state=snap_o, step=step,
-                                config=config, extras=snap_x)
+                # chunked pull: sub-second tunnel transactions so the
+                # train loop's dispatches interleave (see _to_host_chunked)
+                h_p, h_o, h_x = _to_host_chunked((snap_p, snap_o, snap_x))
+                save_checkpoint(path, h_p, opt_state=h_o, step=step,
+                                config=config, extras=h_x)
             except BaseException as e:  # surfaced by the next save/wait
                 self._err = e
 
