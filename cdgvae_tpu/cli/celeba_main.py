@@ -117,15 +117,23 @@ def get_args(debug: bool = False, argv=None):
                              "multi-hundred-epoch runs where 40 saves "
                              "would dominate wall time (docs/PERF.md "
                              "round 4)")
-    parser.add_argument("--async_ckpt", default=True, type=arg_as_bool,
+    parser.add_argument("--async_ckpt", default=False, type=arg_as_bool,
                         help="overlap mid-run checkpoint saves with "
                              "training: snapshot the state on device (one "
                              "jitted copy, ~ms) and pull+pickle in a "
                              "background thread (utils/checkpoint.py::"
                              "AsyncCheckpointer). Same on-disk layout as "
-                             "sync saves; at most one save in flight "
-                             "(a second blocks until the first lands). "
-                             "The final save is always synchronous")
+                             "sync saves; at most one save in flight; "
+                             "the final save is always synchronous. "
+                             "DEFAULT OFF on this dev setup: the round-5 "
+                             "A/B measured the device->host transfer "
+                             "serializing with execution on the tunnel "
+                             "transport (no hideable time beyond the "
+                             "host-side pickle) and 2/4 runs hit a "
+                             "multi-minute transport stall on the first "
+                             "concurrent pull (docs/PERF.md round 5). On "
+                             "a standard PCIe-attached TPU host the "
+                             "overlap design applies; flip on there")
     add_resume_arg(parser)
     add_infra_args(parser)
     if debug:
