@@ -176,10 +176,10 @@ def bench_latency(family, ckpt, batches, reps, img_size=128):
             cands = {k: v for k, v in per_mod.items()
                      if len(v) >= max(2, int(0.8 * reps))}
             if not cands:
+                counts = [(k, len(v)) for k, v in per_mod.items()]
                 raise RuntimeError(
                     f"{family}/{name}@{batch}: no module executed ~{reps}"
-                    f" times in the trace (got {[(k, len(v)) for k, v in"
-                    f" per_mod.items()]})")
+                    f" times in the trace (got {counts})")
             mod = max(cands, key=lambda k: sum(cands[k]))
             v = sorted(cands[mod])
             row = {"batch": batch, "n_calls": len(v),
