@@ -38,6 +38,13 @@ PEAK_BF16_TFLOPS = {"TPU v5 lite": 197.0, "TPU v5e": 197.0,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--conv_dim", type=int, default=32,
+                    help="SAGAN generator base width (reference default "
+                         "32). The round-5 idle decomposition attributes "
+                         "the MFU plateau to in-op arithmetic intensity; "
+                         "widening the convs is one of the two predicted "
+                         "levers (the other is batch) — this knob tests "
+                         "that prediction")
     ap.add_argument("--img_size", type=int, default=128)
     ap.add_argument("--n_data", type=int, default=512)
     ap.add_argument("--epochs_per_call", type=int, default=10)
@@ -79,6 +86,7 @@ def main():
 
     graph = CausalGraph(celeba_B(SMILE_NODES, 0), scm="linear")
     model = CelebACDGVAE(graph, latent_dim=6, image_size=args.img_size,
+                         conv_dim=args.conv_dim,
                          freeze_trunk=True, stacked=args.stacked)
     if args.no_noise:
         assert not args.stacked, "--no_noise probes the default path"
@@ -102,7 +110,8 @@ def main():
     steps_per_call = (args.n_data // args.batch) * args.epochs_per_call
 
     results = {"device": kind, "batch": args.batch,
-               "img_size": args.img_size, "peak_bf16_tflops": peak,
+               "img_size": args.img_size, "conv_dim": args.conv_dim,
+               "peak_bf16_tflops": peak,
                "stacked": args.stacked, "no_noise": args.no_noise,
                "packed": args.packed}
 
